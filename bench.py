@@ -1,0 +1,84 @@
+"""Benchmark: full stereo SLAM pipeline on a synthetic EuRoC-scale sequence.
+
+Runs on whatever JAX backend is default (the real TPU chip under axon).
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+
+Baseline target (BASELINE.md): >2x real-time per chip = 40 tracked frames/s
+at EuRoC scale (752x480 stereo, 20 Hz camera). vs_baseline = fps / 40.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import os
+
+    os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+    import jax
+
+    # persistent compilation cache: TPU compiles of the big front-end
+    # programs take minutes through the tunnel; cache them across runs
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from orbslam3_tpu.eval.metrics import ate_rmse
+    from orbslam3_tpu.io.synthetic import SyntheticConfig, SyntheticWorld
+    from orbslam3_tpu.models.slam import SlamConfig, SlamSystem
+
+    n_seconds = 8.0
+    cfg = SyntheticConfig(duration=n_seconds, n_landmarks=1500)
+    world = SyntheticWorld(cfg)
+    times = world.frame_times()
+
+    # pre-render on host (rendering is dataset generation, not SLAM work)
+    frames = [world.render_frame(t) for t in times]
+    imu = []
+    for i, t in enumerate(times):
+        t_next = times[i + 1] if i + 1 < len(times) else t + 1.0 / cfg.cam_hz
+        imu.append(world.imu_window(t, t_next))
+
+    slam_cfg = SlamConfig(use_imu=False, kf_max_frames=4)
+    slam = SlamSystem(world.cam, slam_cfg)
+
+    # warmup: first frames trigger all compilations
+    WARM = 8
+    for i in range(WARM):
+        g, a, d = imu[i]
+        slam.process_frame(frames[i][0], frames[i][1], g, a, d, float(times[i]))
+
+    t0 = time.perf_counter()
+    for i in range(WARM, len(times)):
+        g, a, d = imu[i]
+        slam.process_frame(frames[i][0], frames[i][1], g, a, d, float(times[i]))
+    elapsed = time.perf_counter() - t0
+    n_timed = len(times) - WARM
+    fps = n_timed / elapsed
+
+    ts, ps, qs = slam.trajectory_arrays()
+    gt_p, _ = world.gt_trajectory()
+    ate = ate_rmse(ps, gt_p[: len(ps)])
+
+    print(
+        json.dumps(
+            {
+                "metric": "tracked_fps_per_chip",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / 40.0, 3),
+                "ate_m": round(ate, 4),
+                "n_frames": int(len(times)),
+                "n_keyframes": int(slam.map.n_kf),
+                "n_map_points": int(slam.map.n_mp),
+                "backend": jax.default_backend(),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -76,10 +76,14 @@ def detect_orb(img, cfg: OrbConfig = OrbConfig()) -> Features:
         ys, xs, resp = fast_ops.select_keypoints(
             score, cell=max(8, int(cfg.cell / scale ** 0.5)), k_cell=cfg.k_cell, n_out=quotas[lv]
         )
+        dy, dx = fast_ops.corner_subpix(lv_img, ys, xs)
         blurred = pyr_ops.blur(lv_img)
         ang = brief_ops.orientations(lv_img, ys, xs)
         desc = brief_ops.descriptors(blurred, ys, xs, ang)
-        uv = jnp.stack([xs.astype(jnp.float32), ys.astype(jnp.float32)], -1) * scale
+        uv = (
+            jnp.stack([xs.astype(jnp.float32) + dx, ys.astype(jnp.float32) + dy], -1)
+            * scale
+        )
         parts.append(
             Features(
                 uv=uv,

@@ -2,32 +2,79 @@
 
 Design:
   * Trajectory: smooth sum-of-sinusoids SE(3) path inside a box room;
-    derivatives (velocity, acceleration, body rates) come from jax autodiff
-    of the analytic pose function, so IMU samples are exact to machine
-    precision — golden data for preintegration and the full pipeline.
+    position derivatives are closed-form, body rates come from a central
+    difference of the analytic quaternion (1e-4 s step — exact to ~1e-8),
+    so IMU samples are golden data for preintegration and the pipeline.
   * Landmarks: random points on the room's walls. Each renders as a
-    2x2-checker "fiducial" patch (strong FAST corner at its center, a
-    per-landmark random quadrant pattern for descriptor distinctiveness),
-    splatted with painter's-order depth handling (near landmarks last).
+    2x2-checker "fiducial" patch (strong FAST corner + saddle point at its
+    center, per-landmark random quadrant pattern for descriptor
+    distinctiveness), splatted far-to-near (painter's order).
   * Stereo: left camera = body frame; right camera offset by the baseline
     along +x (camera RDF convention: x right, y down, z forward).
 
-This replaces the reference's reliance on on-disk EuRoC sequences
-(io/euroc.rs) for testing; the same front-end/back-end code paths run on
-either source.
+Everything here is HOST-SIDE numpy on purpose: this module is dataset
+generation (the analog of reading EuRoC PNGs off disk — io/euroc.rs), and
+must not dispatch device ops (under the TPU tunnel a single tiny op costs
+network latency).
+
+This replaces the reference's reliance on on-disk EuRoC sequences for
+testing; the same front-end/back-end code paths run on either source.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from orbslam3_tpu.frontend.camera import Camera
-from orbslam3_tpu.geometry import quat
-from orbslam3_tpu.imu.preintegration import GRAVITY
+
+GRAVITY_NP = np.array([0.0, 0.0, -9.81], dtype=np.float32)
+
+
+# ------------------------- host-side quaternion helpers (wxyz) -----------
+def _qmul(q1, q2):
+    w1, x1, y1, z1 = q1
+    w2, x2, y2, z2 = q2
+    return np.array(
+        [
+            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+        ]
+    )
+
+
+def _qconj(q):
+    return q * np.array([1.0, -1.0, -1.0, -1.0])
+
+
+def _qrot(q, v):
+    qv = q[1:]
+    t = 2.0 * np.cross(qv, v)
+    return v + q[0] * t + np.cross(qv, t)
+
+
+def _qexp(w):
+    th = np.linalg.norm(w)
+    if th < 1e-12:
+        return np.array([1.0, 0.5 * w[0], 0.5 * w[1], 0.5 * w[2]])
+    return np.concatenate([[np.cos(th / 2)], np.sin(th / 2) * w / th])
+
+
+def _qnorm(q):
+    return q / max(np.linalg.norm(q), 1e-12)
+
+
+def _qmat(q):
+    w, x, y, z = q
+    return np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ]
+    )
 
 
 class SyntheticConfig(NamedTuple):
@@ -54,39 +101,6 @@ class SyntheticConfig(NamedTuple):
     accel_bias: tuple = (0.0, 0.0, 0.0)
 
 
-def _pose_fn(cfg: SyntheticConfig):
-    """t -> (q_wb, p_w) analytic pose (body == left camera, RDF axes).
-
-    The body flies a Lissajous path while yawing; camera z (forward) sweeps
-    the room so walls stay in view.
-    """
-    ax = jnp.asarray(cfg.pos_amp)
-    fx_ = jnp.asarray(cfg.pos_freq)
-    two_pi = 2.0 * jnp.pi
-
-    def pose(t):
-        p = ax * jnp.sin(two_pi * fx_ * t + jnp.asarray([0.0, 1.3, 2.1]))
-        yaw = cfg.yaw_amp * jnp.sin(two_pi * cfg.yaw_freq * t)
-        roll = cfg.rp_amp * jnp.sin(two_pi * cfg.rp_freq[0] * t + 0.5)
-        pitch = cfg.rp_amp * jnp.sin(two_pi * cfg.rp_freq[1] * t + 1.1)
-        # camera RDF: x right, y down, z forward. Compose: yaw about world z
-        # (camera y is ~down, so yaw = rotation about -y_cam), then small
-        # roll/pitch about camera z/x.
-        q_yaw = quat.from_axis_angle(jnp.asarray([0.0, -1.0, 0.0]) * yaw)
-        q_pitch = quat.from_axis_angle(jnp.asarray([1.0, 0.0, 0.0]) * pitch)
-        q_roll = quat.from_axis_angle(jnp.asarray([0.0, 0.0, 1.0]) * roll)
-        # base attitude: camera forward (+z_cam) along world +x, camera down
-        # (+y_cam) along world -z  => R_wb columns = [y_w, -z_w, x_w]
-        R0 = jnp.asarray(
-            [[0.0, 0.0, 1.0], [1.0, 0.0, 0.0], [0.0, -1.0, 0.0]], jnp.float32
-        )
-        q0 = quat.from_matrix(R0)
-        q = quat.mul(q0, quat.mul(q_yaw, quat.mul(q_pitch, q_roll)))
-        return quat.normalize(q), p
-
-    return pose
-
-
 class SyntheticWorld:
     """Generates ground truth, IMU streams, and rendered stereo frames."""
 
@@ -98,46 +112,65 @@ class SyntheticWorld:
         )
         rng = np.random.default_rng(cfg.seed)
         self.landmarks = self._make_landmarks(rng)  # (L, 3) world
-        # per-landmark appearance
         L = self.landmarks.shape[0]
         self.lm_quad = rng.uniform(0.0, 1.0, size=(L, 2, 2)).astype(np.float32)
-        # force contrast: one diagonal bright, other dark
         self.lm_quad[:, 0, 0] = rng.uniform(0.75, 1.0, L)
         self.lm_quad[:, 1, 1] = rng.uniform(0.75, 1.0, L)
         self.lm_quad[:, 0, 1] = rng.uniform(0.0, 0.25, L)
         self.lm_quad[:, 1, 0] = rng.uniform(0.0, 0.25, L)
         self.lm_size = rng.uniform(0.10, 0.22, L).astype(np.float32)  # [m]
-        self.pose = _pose_fn(cfg)
-        self._pose_jit = jax.jit(self.pose)
-
-        # analytic derivatives for IMU
-        def p_of_t(t):
-            return self.pose(t)[1]
-
-        def q_of_t(t):
-            return self.pose(t)[0]
-
-        self._vel = jax.jit(jax.jacfwd(p_of_t))
-        self._acc = jax.jit(jax.jacfwd(jax.jacfwd(p_of_t)))
-        self._qdot = jax.jit(jax.jacfwd(q_of_t))
         self._rng = rng
 
-    # ---------------- ground truth ----------------
-    def _make_landmarks(self, rng):
-        hx, hy, hz = self.cfg.room_half
-        n = self.cfg.n_landmarks
-        pts = []
-        per_face = n // 6
-        for axis, sign in [(0, 1), (0, -1), (1, 1), (1, -1), (2, 1), (2, -1)]:
-            m = per_face if axis < 2 else (n - 4 * per_face) // 2
-            p = rng.uniform(-1, 1, size=(m, 3)) * np.array([hx, hy, hz])
-            p[:, axis] = sign * [hx, hy, hz][axis]
-            pts.append(p)
-        return np.concatenate(pts).astype(np.float32)
+        # base attitude: camera forward (+z_cam) along world +x, camera down
+        # (+y_cam) along world -z  => R_wb columns = [y_w, -z_w, x_w]
+        R0 = np.array([[0.0, 0.0, 1.0], [1.0, 0.0, 0.0], [0.0, -1.0, 0.0]])
+        # quaternion from matrix (trace method fine for this fixed matrix)
+        w = np.sqrt(max(1.0 + np.trace(R0), 0.0)) / 2.0
+        self._q0 = _qnorm(
+            np.array(
+                [
+                    w,
+                    (R0[2, 1] - R0[1, 2]) / (4 * w),
+                    (R0[0, 2] - R0[2, 0]) / (4 * w),
+                    (R0[1, 0] - R0[0, 1]) / (4 * w),
+                ]
+            )
+        )
+
+    # ---------------- analytic pose + derivatives ----------------
+    def _pos(self, t):
+        A = np.asarray(self.cfg.pos_amp)
+        f = np.asarray(self.cfg.pos_freq)
+        ph = np.array([0.0, 1.3, 2.1])
+        return A * np.sin(2 * np.pi * f * t + ph)
+
+    def _vel_analytic(self, t):
+        A = np.asarray(self.cfg.pos_amp)
+        f = np.asarray(self.cfg.pos_freq)
+        ph = np.array([0.0, 1.3, 2.1])
+        return A * 2 * np.pi * f * np.cos(2 * np.pi * f * t + ph)
+
+    def _acc_analytic(self, t):
+        A = np.asarray(self.cfg.pos_amp)
+        f = np.asarray(self.cfg.pos_freq)
+        ph = np.array([0.0, 1.3, 2.1])
+        return -A * (2 * np.pi * f) ** 2 * np.sin(2 * np.pi * f * t + ph)
+
+    def _quat(self, t):
+        cfg = self.cfg
+        yaw = cfg.yaw_amp * np.sin(2 * np.pi * cfg.yaw_freq * t)
+        roll = cfg.rp_amp * np.sin(2 * np.pi * cfg.rp_freq[0] * t + 0.5)
+        pitch = cfg.rp_amp * np.sin(2 * np.pi * cfg.rp_freq[1] * t + 1.1)
+        q_yaw = _qexp(np.array([0.0, -1.0, 0.0]) * yaw)
+        q_pitch = _qexp(np.array([1.0, 0.0, 0.0]) * pitch)
+        q_roll = _qexp(np.array([0.0, 0.0, 1.0]) * roll)
+        return _qnorm(_qmul(self._q0, _qmul(q_yaw, _qmul(q_pitch, q_roll))))
 
     def gt_pose(self, t: float):
-        q, p = self._pose_jit(jnp.float32(t))
-        return np.asarray(q), np.asarray(p)
+        return self._quat(t).astype(np.float32), self._pos(t).astype(np.float32)
+
+    def gt_velocity(self, t: float):
+        return self._vel_analytic(t).astype(np.float32)
 
     def frame_times(self):
         n = int(self.cfg.duration * self.cfg.cam_hz)
@@ -149,15 +182,17 @@ class SyntheticWorld:
 
     def imu_sample(self, t: float):
         """Exact body-frame gyro/accel at time t (plus optional bias/noise)."""
-        q = self._pose_jit(jnp.float32(t))[0]
-        a_w = self._acc(jnp.float32(t))
-        qd = self._qdot(jnp.float32(t))
-        # omega_body: q_dot = 0.5 * q ⊗ (0, omega_b)
-        om = 2.0 * quat.mul(quat.conj(q), qd)
-        gyro = np.asarray(om)[1:4]
-        acc_b = np.asarray(quat.rotate(quat.conj(q), a_w - jnp.asarray(GRAVITY)))
-        gyro = gyro + np.asarray(self.cfg.gyro_bias, np.float32)
-        acc_b = acc_b + np.asarray(self.cfg.accel_bias, np.float32)
+        h = 1e-4
+        q = self._quat(t)
+        q_m = self._quat(t - h)
+        q_p = self._quat(t + h)
+        qdot = (q_p - q_m) / (2 * h)
+        om = 2.0 * _qmul(_qconj(q), qdot)
+        gyro = om[1:4]
+        a_w = self._acc_analytic(t)
+        acc_b = _qrot(_qconj(q), a_w - GRAVITY_NP)
+        gyro = gyro + np.asarray(self.cfg.gyro_bias)
+        acc_b = acc_b + np.asarray(self.cfg.accel_bias)
         if self.cfg.imu_noise:
             sr = np.sqrt(self.cfg.imu_hz)
             gyro = gyro + self._rng.normal(0, 1.7e-4 * sr, 3)
@@ -175,39 +210,57 @@ class SyntheticWorld:
         dt = 1.0 / self.cfg.imu_hz
         return np.stack(g), np.stack(a), np.full(len(sel), dt, np.float32)
 
+    # ---------------- world geometry ----------------
+    def _make_landmarks(self, rng):
+        hx, hy, hz = self.cfg.room_half
+        n = self.cfg.n_landmarks
+        pts = []
+        per_face = n // 6
+        for axis, sign in [(0, 1), (0, -1), (1, 1), (1, -1), (2, 1), (2, -1)]:
+            m = per_face if axis < 2 else (n - 4 * per_face) // 2
+            p = rng.uniform(-1, 1, size=(m, 3)) * np.array([hx, hy, hz])
+            p[:, axis] = sign * [hx, hy, hz][axis]
+            pts.append(p)
+        return np.concatenate(pts).astype(np.float32)
+
     # ---------------- rendering ----------------
     def render_frame(self, t: float):
         """Render the stereo pair at time t -> (left, right) (H, W) f32."""
         q, p = self.gt_pose(t)
         left = self._render_cam(q, p)
-        # right camera: offset along camera x
-        p_r = p + np.asarray(quat.rotate(jnp.asarray(q), jnp.asarray([self.cfg.baseline, 0.0, 0.0])))
+        p_r = p + _qrot(q.astype(np.float64), np.array([self.cfg.baseline, 0.0, 0.0])).astype(
+            np.float32
+        )
         right = self._render_cam(q, p_r)
         return left, right
 
     def _render_cam(self, q_wb, p_w):
         cfg = self.cfg
         h, w = cfg.height, cfg.width
-        # camera-frame landmark coords
-        qc = quat.conj(jnp.asarray(q_wb))
-        xc = np.asarray(quat.rotate(qc[None], jnp.asarray(self.landmarks - p_w[None])))
+        R = _qmat(q_wb.astype(np.float64))
+        xc = (self.landmarks - p_w) @ R  # = R^T (x - p) rowwise
         z = xc[:, 2]
-        uv = np.stack(
-            [
-                cfg.fx * xc[:, 0] / np.maximum(z, 1e-6) + w / 2.0,
-                cfg.fy * xc[:, 1] / np.maximum(z, 1e-6) + h / 2.0,
-            ],
-            -1,
+        with np.errstate(divide="ignore", invalid="ignore"):
+            uv = np.stack(
+                [
+                    cfg.fx * xc[:, 0] / np.maximum(z, 1e-6) + w / 2.0,
+                    cfg.fy * xc[:, 1] / np.maximum(z, 1e-6) + h / 2.0,
+                ],
+                -1,
+            )
+        vis = (
+            (z > 0.25)
+            & (uv[:, 0] > -20)
+            & (uv[:, 0] < w + 20)
+            & (uv[:, 1] > -20)
+            & (uv[:, 1] < h + 20)
         )
-        vis = (z > 0.25) & (uv[:, 0] > -20) & (uv[:, 0] < w + 20) & (uv[:, 1] > -20) & (uv[:, 1] < h + 20)
 
-        # background: low-contrast static gradient + per-pixel hash noise
         yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
         img = 0.45 + 0.05 * np.sin(xx * 0.011) * np.cos(yy * 0.013)
 
         idx = np.where(vis)[0]
-        # painter's order: far first so near landmarks overwrite
-        idx = idx[np.argsort(-z[idx])]
+        idx = idx[np.argsort(-z[idx])]  # painter's order: far first
         for i in idx:
             s_px = cfg.fx * self.lm_size[i] / z[i]
             s_px = float(np.clip(s_px, 5.0, 40.0))
@@ -219,7 +272,6 @@ class SyntheticWorld:
             uu1, vv1 = min(u1, w), min(v1, h)
             if uu1 <= uu0 or vv1 <= vv0:
                 continue
-            # 2x2 checker quadrants around the exact (sub-pixel) center
             px = np.arange(uu0, uu1, dtype=np.float32) - cu
             py = np.arange(vv0, vv1, dtype=np.float32) - cv
             PX, PY = np.meshgrid(px, py)

@@ -1,0 +1,384 @@
+"""SoA map state + jitted mutation ops.
+
+Capability parity with /root/reference/src/atlas/map/ re-designed for XLA:
+
+  reference (pointer world)              this module (array world)
+  -------------------------------------  --------------------------------
+  HashMap<KeyFrameId, KeyFrame>          kf_* arrays (K rows) + kf_valid
+  HashMap<MapPointId, MapPoint>          mp_* arrays (M rows) + mp_valid
+  associate/disassociate (map.rs:339)    batched scatters on kf_mp/mp_obs
+  covisibility adjacency (keyframe.rs)   covis (K, K) int32, scatter-updated
+  spanning tree + temporal chain         kf_prev (temporal); tree at loop mod
+  cull_bad_map_points (map.rs:589)       validity-mask flips + disassociation
+  frustum query (map.rs:514)             masked projection over all MPs
+
+Ids ARE row indices (never reused within a map's lifetime; capacity is
+sized for the sequence). `map_id` columns support the multi-map Atlas.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from orbslam3_tpu.geometry import quat
+from orbslam3_tpu.imu.preintegration import PreintState
+
+
+class MapCapacity(NamedTuple):
+    max_kf: int = 256  # K
+    n_feat: int = 1024  # N features per keyframe
+    max_mp: int = 32768  # M
+    max_obs: int = 16  # O observations tracked per map point
+
+
+class MapState(NamedTuple):
+    # --- keyframes (K rows)
+    kf_q: jnp.ndarray  # (K, 4) body->world rotation
+    kf_p: jnp.ndarray  # (K, 3) body position in world
+    kf_v: jnp.ndarray  # (K, 3) velocity
+    kf_bg: jnp.ndarray  # (K, 3) gyro bias
+    kf_ba: jnp.ndarray  # (K, 3) accel bias
+    kf_time: jnp.ndarray  # (K,)
+    kf_valid: jnp.ndarray  # (K,) bool
+    kf_map_id: jnp.ndarray  # (K,) int32 atlas map id
+    kf_prev: jnp.ndarray  # (K,) int32 temporal predecessor (-1 none)
+    # per-feature data
+    kf_uv: jnp.ndarray  # (K, N, 2)
+    kf_ur: jnp.ndarray  # (K, N) right-image u (-1 = mono)
+    kf_depth: jnp.ndarray  # (K, N) stereo depth (-1 = none)
+    kf_octave: jnp.ndarray  # (K, N) int32
+    kf_desc: jnp.ndarray  # (K, N, 32) uint8
+    kf_mp: jnp.ndarray  # (K, N) int32 map point id (-1 = none)
+    # stored preintegration from kf_prev -> this kf (batched PreintState)
+    kf_preint: PreintState
+    # --- map points (M rows)
+    mp_pos: jnp.ndarray  # (M, 3)
+    mp_desc: jnp.ndarray  # (M, 32) uint8
+    mp_normal: jnp.ndarray  # (M, 3) mean viewing direction
+    mp_min_dist: jnp.ndarray  # (M,)
+    mp_max_dist: jnp.ndarray  # (M,)
+    mp_valid: jnp.ndarray  # (M,) bool
+    mp_map_id: jnp.ndarray  # (M,) int32
+    mp_first_kf: jnp.ndarray  # (M,) int32
+    mp_visible: jnp.ndarray  # (M,) int32 frustum-visibility counter
+    mp_found: jnp.ndarray  # (M,) int32 tracking-inlier counter
+    # observations (M, O): which (kf, feat) see this point
+    mp_obs_kf: jnp.ndarray  # (M, O) int32 (-1 empty)
+    mp_obs_feat: jnp.ndarray  # (M, O) int32
+    mp_obs_n: jnp.ndarray  # (M,) int32
+    # --- covisibility (K, K) shared-observation counts
+    covis: jnp.ndarray  # (K, K) int32
+    # --- counters (device scalars)
+    n_kf: jnp.ndarray  # () int32 rows used
+    n_mp: jnp.ndarray  # () int32 rows used
+    active_map: jnp.ndarray  # () int32 atlas active map id
+    next_map_id: jnp.ndarray  # () int32
+
+
+def empty_map(cap: MapCapacity = MapCapacity()) -> MapState:
+    K, N, M, O = cap.max_kf, cap.n_feat, cap.max_mp, cap.max_obs
+    f = jnp.float32
+    i = jnp.int32
+
+    def preint_batch():
+        z3 = jnp.zeros((K, 3), f)
+        z33 = jnp.zeros((K, 3, 3), f)
+        return PreintState(
+            dq=jnp.tile(jnp.asarray([1.0, 0, 0, 0], f), (K, 1)),
+            dv=z3,
+            dp=z3,
+            dt=jnp.zeros((K,), f),
+            cov=jnp.zeros((K, 15, 15), f),
+            J_r_bg=z33,
+            J_v_bg=z33,
+            J_v_ba=z33,
+            J_p_bg=z33,
+            J_p_ba=z33,
+            bias_g=z3,
+            bias_a=z3,
+        )
+
+    return MapState(
+        kf_q=jnp.tile(jnp.asarray([1.0, 0, 0, 0], f), (K, 1)),
+        kf_p=jnp.zeros((K, 3), f),
+        kf_v=jnp.zeros((K, 3), f),
+        kf_bg=jnp.zeros((K, 3), f),
+        kf_ba=jnp.zeros((K, 3), f),
+        kf_time=jnp.zeros((K,), f),
+        kf_valid=jnp.zeros((K,), bool),
+        kf_map_id=jnp.full((K,), -1, i),
+        kf_prev=jnp.full((K,), -1, i),
+        kf_uv=jnp.zeros((K, N, 2), f),
+        kf_ur=jnp.full((K, N), -1.0, f),
+        kf_depth=jnp.full((K, N), -1.0, f),
+        kf_octave=jnp.zeros((K, N), i),
+        kf_desc=jnp.zeros((K, N, 32), jnp.uint8),
+        kf_mp=jnp.full((K, N), -1, i),
+        kf_preint=preint_batch(),
+        mp_pos=jnp.zeros((M, 3), f),
+        mp_desc=jnp.zeros((M, 32), jnp.uint8),
+        mp_normal=jnp.zeros((M, 3), f),
+        mp_min_dist=jnp.zeros((M,), f),
+        mp_max_dist=jnp.zeros((M,), f),
+        mp_valid=jnp.zeros((M,), bool),
+        mp_map_id=jnp.full((M,), -1, i),
+        mp_first_kf=jnp.full((M,), -1, i),
+        mp_visible=jnp.ones((M,), i),
+        mp_found=jnp.ones((M,), i),
+        mp_obs_kf=jnp.full((M, O), -1, i),
+        mp_obs_feat=jnp.full((M, O), -1, i),
+        mp_obs_n=jnp.zeros((M,), i),
+        covis=jnp.zeros((K, K), i),
+        n_kf=jnp.zeros((), i),
+        n_mp=jnp.zeros((), i),
+        active_map=jnp.zeros((), i),
+        next_map_id=jnp.ones((), i),
+    )
+
+
+# ---------------------------------------------------------------- helpers
+def _scatter_add_covis(covis, kf_id, other_kfs, valid):
+    """covis[kf_id, other] += 1 and symmetric, for masked `other_kfs`."""
+    others = jnp.where(valid, other_kfs, 0)
+    inc = valid.astype(jnp.int32)
+    row = jnp.zeros((covis.shape[0],), jnp.int32).at[others].add(inc)
+    row = row.at[kf_id].set(0)  # no self edges
+    covis = covis.at[kf_id, :].add(row)
+    covis = covis.at[:, kf_id].add(row)
+    return covis
+
+
+def associate_batch(st: MapState, kf_id, feat_idx, mp_idx, valid):
+    """Associate features of one keyframe with map points (batched).
+
+    Args:
+      kf_id: () int32
+      feat_idx: (B,) feature slots in the keyframe
+      mp_idx: (B,) map point ids
+      valid: (B,) mask
+    (reference: map.rs:339-453 associate + covisibility bookkeeping)
+    """
+    B = feat_idx.shape[0]
+    O = st.mp_obs_kf.shape[1]
+    f_safe = jnp.where(valid, feat_idx, 0)
+    m_safe = jnp.where(valid, mp_idx, 0)
+
+    # 1. kf_mp[kf, feat] = mp
+    row = st.kf_mp[kf_id]
+    row = row.at[f_safe].set(jnp.where(valid, m_safe, row[f_safe]))
+    kf_mp = st.kf_mp.at[kf_id].set(row)
+
+    # 2. covisibility: +1 with every current observer of each mp
+    obs_kfs = st.mp_obs_kf[m_safe]  # (B, O)
+    obs_valid = (obs_kfs >= 0) & valid[:, None]
+    covis = _scatter_add_covis(
+        st.covis, kf_id, obs_kfs.reshape(-1), obs_valid.reshape(-1)
+    )
+
+    # 3. append to obs lists (dropped silently if the O-cap is full)
+    slot = st.mp_obs_n[m_safe]
+    can = valid & (slot < O)
+    slot_safe = jnp.clip(slot, 0, O - 1)
+    mp_obs_kf = st.mp_obs_kf.at[m_safe, slot_safe].set(
+        jnp.where(can, kf_id, st.mp_obs_kf[m_safe, slot_safe])
+    )
+    mp_obs_feat = st.mp_obs_feat.at[m_safe, slot_safe].set(
+        jnp.where(can, f_safe, st.mp_obs_feat[m_safe, slot_safe])
+    )
+    mp_obs_n = st.mp_obs_n.at[m_safe].add(can.astype(jnp.int32))
+
+    return st._replace(
+        kf_mp=kf_mp, covis=covis, mp_obs_kf=mp_obs_kf, mp_obs_feat=mp_obs_feat, mp_obs_n=mp_obs_n
+    )
+
+
+@partial(jax.jit, static_argnames=("new_mp_budget",))
+def insert_keyframe(
+    st: MapState,
+    time,
+    q_wb,
+    p_w,
+    vel,
+    bias_g,
+    bias_a,
+    uv,
+    u_right,
+    depth,
+    octave,
+    desc,
+    points_cam,
+    feat_valid,
+    matched_mp,
+    preint: PreintState,
+    prev_kf,
+    new_mp_budget: int = 384,
+):
+    """Insert a keyframe row; associate tracked matches; spawn new map points
+    from unmatched stereo features (closest-first, up to new_mp_budget).
+
+    (reference: tracker.rs:748-806 initialize_map + local_mapper.rs:167-259
+    insert + associate + triangulate_new_points, fused into one program)
+
+    Args mirror the stereo frame: points_cam (N, 3) are camera-frame points
+    (valid where depth > 0). Returns (MapState, kf_id).
+    """
+    N = uv.shape[0]
+    k = st.n_kf
+    st = st._replace(
+        kf_q=st.kf_q.at[k].set(q_wb),
+        kf_p=st.kf_p.at[k].set(p_w),
+        kf_v=st.kf_v.at[k].set(vel),
+        kf_bg=st.kf_bg.at[k].set(bias_g),
+        kf_ba=st.kf_ba.at[k].set(bias_a),
+        kf_time=st.kf_time.at[k].set(time),
+        kf_valid=st.kf_valid.at[k].set(True),
+        kf_map_id=st.kf_map_id.at[k].set(st.active_map),
+        kf_prev=st.kf_prev.at[k].set(prev_kf),
+        kf_uv=st.kf_uv.at[k].set(uv),
+        kf_ur=st.kf_ur.at[k].set(u_right),
+        kf_depth=st.kf_depth.at[k].set(depth),
+        kf_octave=st.kf_octave.at[k].set(octave),
+        kf_desc=st.kf_desc.at[k].set(desc),
+        kf_preint=jax.tree.map(lambda a, v: a.at[k].set(v), st.kf_preint, preint),
+        n_kf=st.n_kf + 1,
+    )
+
+    # 1. associate features the tracker already matched to existing MPs
+    st = associate_batch(st, k, jnp.arange(N), matched_mp, feat_valid & (matched_mp >= 0))
+
+    # 2. spawn new map points from unmatched stereo features (near first,
+    # reference policy: close stereo points are the reliable ones)
+    can_new = feat_valid & (matched_mp < 0) & (depth > 0)
+    prio = jnp.where(can_new, -depth, -jnp.inf)
+    _, sel = jax.lax.top_k(prio, new_mp_budget)  # (B,) feature indices
+    sel_ok = can_new[sel]
+
+    M = st.mp_pos.shape[0]
+    new_ids = st.n_mp + jnp.cumsum(sel_ok.astype(jnp.int32)) - 1
+    sel_ok = sel_ok & (new_ids < M)
+    ids_safe = jnp.where(sel_ok, new_ids, 0)
+
+    # world positions + viewing geometry
+    pw = quat.rotate(q_wb[None], points_cam[sel]) + p_w[None]
+    view = pw - p_w[None]
+    dist = jnp.linalg.norm(view, axis=-1).clip(1e-6)
+    normal = view / dist[:, None]
+    level_scale = 1.2 ** octave[sel].astype(jnp.float32)
+    max_d = dist * level_scale
+    min_d = max_d / (1.2 ** 7)
+
+    def scat(arr, vals):
+        return arr.at[ids_safe].set(jnp.where(_bdims(sel_ok, vals), vals, arr[ids_safe]))
+
+    st = st._replace(
+        mp_pos=scat(st.mp_pos, pw),
+        mp_desc=scat(st.mp_desc, desc[sel]),
+        mp_normal=scat(st.mp_normal, normal),
+        mp_min_dist=scat(st.mp_min_dist, min_d),
+        mp_max_dist=scat(st.mp_max_dist, max_d),
+        mp_valid=scat(st.mp_valid, sel_ok),
+        mp_map_id=scat(st.mp_map_id, jnp.full_like(ids_safe, 1) * st.active_map),
+        mp_first_kf=scat(st.mp_first_kf, jnp.full_like(ids_safe, 1) * k),
+        mp_visible=scat(st.mp_visible, jnp.ones_like(ids_safe)),
+        mp_found=scat(st.mp_found, jnp.ones_like(ids_safe)),
+        n_mp=st.n_mp + jnp.sum(sel_ok.astype(jnp.int32)),
+    )
+
+    # associate the newly created points to this keyframe
+    st = associate_batch(st, k, sel, ids_safe, sel_ok)
+    return st, k
+
+
+def _bdims(mask, vals):
+    """Broadcast (B,) mask against (B, ...) values."""
+    extra = vals.ndim - 1
+    return mask.reshape(mask.shape + (1,) * extra)
+
+
+@jax.jit
+def cull_map_points(st: MapState, min_obs: int = 2, min_found_ratio: float = 0.25,
+                    grace_kfs: int = 2):
+    """Invalidate weak map points and disassociate them everywhere.
+
+    Rule (reference: local_mapper.rs:421-486 + map_point.rs cull): a point
+    older than `grace_kfs` keyframes must have >= min_obs observations and
+    found/visible >= min_found_ratio.
+    """
+    age = st.n_kf - 1 - st.mp_first_kf  # in keyframes
+    ratio = st.mp_found.astype(jnp.float32) / jnp.maximum(
+        st.mp_visible.astype(jnp.float32), 1.0
+    )
+    bad = st.mp_valid & (age >= grace_kfs) & (
+        (st.mp_obs_n < min_obs) | (ratio < min_found_ratio)
+    )
+    return _remove_map_points(st, bad)
+
+
+def _remove_map_points(st: MapState, bad_mask):
+    """Mask-off map points: clear kf_mp references, obs lists, covisibility.
+
+    Covisibility decrements are recomputed exactly: for each removed point,
+    every observer pair loses one shared observation.
+    """
+    M, O = st.mp_obs_kf.shape
+    # clear feature -> mp references
+    ref = st.kf_mp  # (K, N)
+    ref_bad = (ref >= 0) & bad_mask[jnp.clip(ref, 0, M - 1)]
+    kf_mp = jnp.where(ref_bad, -1, ref)
+
+    # covisibility decrements: for each bad point, for each observer pair
+    # (a, b): covis[a, b] -= 1. Batched via one-hot segment accumulation.
+    obs = st.mp_obs_kf  # (M, O)
+    obs_ok = (obs >= 0) & bad_mask[:, None]
+    K = st.covis.shape[0]
+    obs_safe = jnp.where(obs_ok, obs, 0)
+    # pairwise (M, O, O) — O is small (16), so this is M*256 int ops
+    pair_valid = obs_ok[:, :, None] & obs_ok[:, None, :]
+    a = jnp.broadcast_to(obs_safe[:, :, None], pair_valid.shape)
+    b = jnp.broadcast_to(obs_safe[:, None, :], pair_valid.shape)
+    not_self = a != b
+    dec = (pair_valid & not_self).astype(jnp.int32)
+    covis = st.covis.at[a.reshape(-1), b.reshape(-1)].add(-dec.reshape(-1))
+
+    cleared = jnp.where(bad_mask[:, None], -1, st.mp_obs_kf)
+    return st._replace(
+        kf_mp=kf_mp,
+        covis=covis,
+        mp_valid=st.mp_valid & ~bad_mask,
+        mp_obs_kf=cleared,
+        mp_obs_feat=jnp.where(bad_mask[:, None], -1, st.mp_obs_feat),
+        mp_obs_n=jnp.where(bad_mask, 0, st.mp_obs_n),
+    )
+
+
+def local_window(st: MapState, kf_id, window: int):
+    """Top-`window` covisible keyframes of kf_id (plus kf_id itself first).
+
+    Returns (ids (window,), valid (window,)). Replaces the reference's
+    sorted-covisibility traversal (keyframe.rs:270-345) with one top_k.
+    """
+    weights = st.covis[kf_id] * st.kf_valid * (st.kf_map_id == st.kf_map_id[kf_id])
+    weights = weights.at[kf_id].set(0)
+    w, ids = jax.lax.top_k(weights, window - 1)
+    ids = jnp.concatenate([kf_id[None], ids])
+    valid = jnp.concatenate([jnp.ones(1, bool), w > 0])
+    return ids, valid
+
+
+def mp_slots_for_kfs(st: MapState, kf_ids, kf_valid, max_points: int):
+    """Collect the distinct map points observed by a set of keyframes.
+
+    Returns (mp_ids (P,), valid (P,)) with P = max_points, padded.
+    """
+    refs = st.kf_mp[kf_ids]  # (W, N)
+    ok = (refs >= 0) & kf_valid[:, None]
+    M = st.mp_pos.shape[0]
+    refs_safe = jnp.where(ok, refs, 0)
+    seen = jnp.zeros((M,), bool).at[refs_safe.reshape(-1)].max(ok.reshape(-1))
+    seen = seen & st.mp_valid
+    prio = seen.astype(jnp.float32)
+    v, ids = jax.lax.top_k(prio, max_points)
+    return ids, v > 0

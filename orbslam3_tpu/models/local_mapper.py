@@ -1,0 +1,83 @@
+"""Local mapping: covisibility-window BA on the SoA map + culling.
+
+Replaces /root/reference/src/local_mapping/local_mapper.rs's per-keyframe
+pipeline. The 3-phase COLLECT/SOLVE/APPLY lock pattern (local_mapper.rs:
+314-321) maps to gather (build_ba_problem) -> jit solve (solve_local_ba) ->
+scatter (apply_ba_results); there are no locks because the host serializes
+map mutations between jitted programs.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from orbslam3_tpu.frontend.camera import Camera
+from orbslam3_tpu.map.slam_map import MapState, local_window, mp_slots_for_kfs
+from orbslam3_tpu.optim.local_ba import BAProblem, solve_local_ba
+
+
+@partial(jax.jit, static_argnames=("window", "max_points"))
+def build_ba_problem(st: MapState, kf_id, window: int, max_points: int):
+    """Gather the local BA problem around kf_id.
+
+    Window = kf_id + top covisible keyframes (reference: local_ba_lm.rs:
+    344-361 uses current + <=20 covisible with the anchor fixed). The oldest
+    valid window keyframe is the gauge anchor (fixed).
+    """
+    ids, valid = local_window(st, kf_id, window)
+    M = st.mp_pos.shape[0]
+
+    pt_ids, pt_valid = mp_slots_for_kfs(st, ids, valid, max_points)
+    P = max_points
+    inv = jnp.full((M,), -1, jnp.int32)
+    inv = inv.at[jnp.where(pt_valid, pt_ids, 0)].set(
+        jnp.where(pt_valid, jnp.arange(P, dtype=jnp.int32), -1)
+    )
+
+    refs = st.kf_mp[ids]  # (W, N)
+    obs_pt = jnp.where(refs >= 0, inv[jnp.clip(refs, 0, M - 1)], -1)
+
+    # gauge anchor: oldest valid keyframe in the window
+    BIGI = jnp.int32(2**30)
+    oldest = jnp.min(jnp.where(valid, ids, BIGI))
+    opt_cam = valid & (ids != oldest)
+
+    prob = BAProblem(
+        q=st.kf_q[ids],
+        p=st.kf_p[ids],
+        opt_cam=opt_cam,
+        cam_valid=valid,
+        Xw=st.mp_pos[pt_ids],
+        pt_valid=pt_valid,
+        obs_uv=st.kf_uv[ids],
+        obs_ur=st.kf_ur[ids],
+        obs_oct=st.kf_octave[ids],
+        obs_pt=obs_pt,
+    )
+    return prob, ids, valid, pt_ids, pt_valid
+
+
+@jax.jit
+def apply_ba_results(st: MapState, ids, kf_valid, q, p, pt_ids, pt_valid, Xw):
+    """Scatter optimized poses/points back. Returns (kf_q, kf_p, mp_pos)."""
+    ids_safe = jnp.where(kf_valid, ids, 0)
+    kf_q = st.kf_q.at[ids_safe].set(jnp.where(kf_valid[:, None], q, st.kf_q[ids_safe]))
+    kf_p = st.kf_p.at[ids_safe].set(jnp.where(kf_valid[:, None], p, st.kf_p[ids_safe]))
+    pt_safe = jnp.where(pt_valid, pt_ids, 0)
+    mp_pos = st.mp_pos.at[pt_safe].set(
+        jnp.where(pt_valid[:, None], Xw, st.mp_pos[pt_safe])
+    )
+    return kf_q, kf_p, mp_pos
+
+
+def local_ba_step(st: MapState, cam: Camera, kf_id, window: int = 8,
+                  max_points: int = 2048, iters: int = 8):
+    """One local BA pass around kf_id; returns updated MapState."""
+    prob, ids, valid, pt_ids, pt_valid = build_ba_problem(st, kf_id, window, max_points)
+    res = solve_local_ba(prob, cam, iters=iters)
+    kf_q, kf_p, mp_pos = apply_ba_results(
+        st, ids, valid & prob.opt_cam, res.q, res.p, pt_ids, pt_valid, res.Xw
+    )
+    return st._replace(kf_q=kf_q, kf_p=kf_p, mp_pos=mp_pos), res

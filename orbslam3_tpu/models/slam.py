@@ -1,0 +1,359 @@
+"""SlamSystem: host orchestration of the jitted SLAM pipeline.
+
+Replaces /root/reference/src/system/slam_system.rs + tracker.rs control flow.
+The reference's thread pipeline (Tracking || LocalMapping || LoopClosing with
+channels and atomic flags) becomes sequential host dispatch of device
+programs — each stage is a single fused XLA program, so "pipelining" happens
+inside the device (and later across devices via the mesh), not via host
+threads. No abort flags: every solver is bounded.
+
+State machine (reference: tracking/state.rs, tracker.rs:232-292):
+  NotInitialized -> Ok -> RecentlyLost -> Lost (reset / new map)
+"""
+from __future__ import annotations
+
+import time as _time
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orbslam3_tpu.frontend.camera import Camera
+from orbslam3_tpu.frontend.orb import OrbConfig
+from orbslam3_tpu.frontend.stereo import StereoConfig, StereoFrame, process_stereo
+from orbslam3_tpu.geometry import quat
+from orbslam3_tpu.imu import preintegration as pre
+from orbslam3_tpu.map.slam_map import (
+    MapCapacity,
+    cull_map_points,
+    empty_map,
+    insert_keyframe,
+)
+from orbslam3_tpu.models.local_mapper import local_ba_step
+from orbslam3_tpu.models.tracker import TrackConfig, match_local_map, update_point_counters
+from orbslam3_tpu.optim.pose_only import pose_inertial_optimize, pose_optimize
+
+
+class SlamConfig(NamedTuple):
+    orb: OrbConfig = OrbConfig()
+    stereo: StereoConfig = StereoConfig()
+    track: TrackConfig = TrackConfig()
+    cap: MapCapacity = MapCapacity()
+    # keyframe policy (reference: keyframe_decision.rs:85-127)
+    kf_max_frames: int = 10
+    kf_inlier_ratio: float = 0.7
+    kf_min_inliers: int = 25
+    min_track_inliers: int = 12
+    # local mapping
+    ba_window: int = 8
+    ba_points: int = 2048
+    ba_iters: int = 8
+    cull_every_kfs: int = 3
+    new_mp_budget: int = 384
+    # IMU
+    use_imu: bool = True
+    imu_init_kfs: int = 12  # keyframes needed before IMU initialization
+    imu_init_min_time: float = 1.0
+    max_imu_per_frame: int = 32
+    max_imu_per_kf: int = 512
+
+
+class FrameResult(NamedTuple):
+    t: float
+    q: np.ndarray
+    p: np.ndarray
+    n_matches: int
+    n_inliers: int
+    state: str
+    is_keyframe: bool
+
+
+class SlamSystem:
+    def __init__(self, cam: Camera, cfg: SlamConfig = SlamConfig()):
+        self.cam = cam
+        self.cfg = cfg
+        self.map = empty_map(cfg.cap)
+        self.state = "NotInitialized"
+        # current body state
+        self.q = quat.identity()
+        self.p = jnp.zeros(3)
+        self.v = jnp.zeros(3)
+        self.bg = jnp.zeros(3)
+        self.ba = jnp.zeros(3)
+        # motion model (per-frame body-frame delta)
+        self.motion_dq = quat.identity()
+        self.motion_dp = jnp.zeros(3)
+        self.last_t: Optional[float] = None
+        # keyframe bookkeeping
+        self.last_kf_id = -1
+        self.frames_since_kf = 0
+        self.ref_inliers = 1
+        self.kfs_since_cull = 0
+        # IMU sample buffer since last keyframe
+        self._kf_gyro: list = []
+        self._kf_acc: list = []
+        self._kf_dts: list = []
+        self.imu_initialized = False
+        self.gravity_w = None  # estimated gravity in world frame
+        self.trajectory: list[FrameResult] = []
+        self._preint_frame = None
+
+    # ------------------------------------------------------------------
+    def _pad_imu(self, gyro, acc, dts, n):
+        k = min(len(dts), n)
+        g = np.zeros((n, 3), np.float32)
+        a = np.zeros((n, 3), np.float32)
+        d = np.zeros((n,), np.float32)
+        m = np.zeros((n,), bool)
+        if k:
+            g[:k] = gyro[:k]
+            a[:k] = acc[:k]
+            d[:k] = dts[:k]
+            m[:k] = True
+        return jnp.asarray(g), jnp.asarray(a), jnp.asarray(d), jnp.asarray(m)
+
+    def _integrate_window(self, gyro, acc, dts, n):
+        g, a, d, m = self._pad_imu(gyro, acc, dts, n)
+        return pre.integrate(g, a, d, m, self.bg, self.ba)
+
+    # ------------------------------------------------------------------
+    def process_frame(self, left, right, gyro, acc, dts, t: float) -> FrameResult:
+        """Track one stereo frame. Images (H, W) f32 0..255; IMU window is
+        the samples between the previous frame and this one."""
+        cfg = self.cfg
+        sf = process_stereo(
+            jnp.asarray(left), jnp.asarray(right), self.cam, cfg.orb, cfg.stereo
+        )
+
+        if cfg.use_imu and len(dts) > 0:
+            self._kf_gyro.append(np.asarray(gyro))
+            self._kf_acc.append(np.asarray(acc))
+            self._kf_dts.append(np.asarray(dts))
+            self._preint_frame = self._integrate_window(
+                gyro, acc, dts, cfg.max_imu_per_frame
+            )
+        else:
+            self._preint_frame = None
+
+        if self.state == "NotInitialized":
+            return self._initialize(sf, t)
+
+        # ---- predict
+        dt_frame = (t - self.last_t) if self.last_t is not None else 0.0
+        if self.imu_initialized and self._preint_frame is not None:
+            q_pred, v_pred, p_pred = pre.propagate(
+                self._preint_frame, self.q, self.v, self.p, self.bg, self.ba,
+                gravity=self.gravity_w,
+            )
+        else:
+            q_pred = quat.normalize(quat.mul(self.q, self.motion_dq))
+            p_pred = self.p + quat.rotate(self.q, self.motion_dp)
+            v_pred = self.v
+
+        # ---- match against local map
+        matched, mp_w, vis_ids, vis_ok = match_local_map(
+            self.map, self.cam, sf.feat.uv, sf.feat.desc, sf.feat.octave,
+            sf.feat.valid, q_pred, p_pred, cfg.track,
+        )
+        n_matches = int(jnp.sum(matched >= 0))
+
+        if n_matches < cfg.min_track_inliers:
+            # dead-reckon this frame (RecentlyLost)
+            self.state = "RecentlyLost"
+            self.q, self.p, self.v = q_pred, p_pred, v_pred
+            res = FrameResult(t, np.asarray(self.q), np.asarray(self.p), n_matches, 0,
+                              self.state, False)
+            self.trajectory.append(res)
+            self._post_frame(t, dt_frame)
+            return res
+
+        # ---- pose solve
+        valid = matched >= 0
+        if self.imu_initialized and self._preint_frame is not None:
+            kf = self.last_kf_id
+            q_new, p_new, v_new, bg_new, ba_new, inliers, n_inl = pose_inertial_optimize(
+                q_pred, p_pred, v_pred, self.bg, self.ba, self.cam,
+                mp_w, sf.feat.uv, jnp.where(valid, sf.u_right, -1.0),
+                sf.feat.octave, valid.astype(jnp.float32),
+                self._kf_preint_state(), self.map.kf_q[kf], self.map.kf_p[kf],
+                self.map.kf_v[kf], self.map.kf_bg[kf], self.map.kf_ba[kf],
+                gravity=self.gravity_w,
+            )
+            # velocity is per-frame state; biases stay anchored to the last
+            # keyframe (per-frame bias updates random-walk away otherwise —
+            # durable bias refinement belongs to VI-BA / IMU re-init)
+            self.v = v_new
+        else:
+            opt = pose_optimize(
+                q_pred, p_pred, self.cam, mp_w, sf.feat.uv,
+                jnp.where(valid, sf.u_right, -1.0), sf.feat.octave, valid,
+            )
+            q_new, p_new, inliers, n_inl = opt.q, opt.p, opt.inliers, opt.n_inliers
+            if dt_frame > 0:
+                self.v = (p_new - self.p) / dt_frame
+
+        n_inl = int(n_inl)
+        if n_inl < cfg.min_track_inliers:
+            self.state = "RecentlyLost"
+            q_new, p_new = q_pred, p_pred
+        else:
+            self.state = "Ok"
+
+        # motion model update (body-frame delta)
+        self.motion_dq = quat.normalize(quat.mul(quat.conj(self.q), q_new))
+        self.motion_dp = quat.rotate(quat.conj(self.q), p_new - self.p)
+        self.q, self.p = q_new, p_new
+
+        # counters for culling
+        vis, fnd = update_point_counters(
+            self.map.mp_visible, self.map.mp_found, vis_ids, vis_ok, matched, inliers
+        )
+        self.map = self.map._replace(mp_visible=vis, mp_found=fnd)
+
+        # ---- keyframe decision
+        is_kf = self.state == "Ok" and self._keyframe_decision(n_inl)
+        if is_kf:
+            self._insert_keyframe(sf, t, matched)
+
+        res = FrameResult(t, np.asarray(self.q), np.asarray(self.p), n_matches,
+                          n_inl, self.state, is_kf)
+        self.trajectory.append(res)
+        self._post_frame(t, dt_frame)
+        return res
+
+    # ------------------------------------------------------------------
+    def _post_frame(self, t, dt_frame):
+        self.last_t = t
+        self.frames_since_kf += 1
+
+    def _keyframe_decision(self, n_inl: int) -> bool:
+        """(reference: keyframe_decision.rs:85-127 — frame-count cap or
+        tracked/reference ratio decay)"""
+        cfg = self.cfg
+        if self.frames_since_kf < 1:
+            return False
+        if self.frames_since_kf >= cfg.kf_max_frames:
+            return True
+        if n_inl < cfg.kf_inlier_ratio * self.ref_inliers and n_inl > cfg.kf_min_inliers:
+            return True
+        return False
+
+    def _kf_preint_state(self):
+        """Preintegration from the last keyframe to now."""
+        if not self._kf_dts:
+            return pre.PreintState.identity(self.bg, self.ba)
+        g = np.concatenate(self._kf_gyro)
+        a = np.concatenate(self._kf_acc)
+        d = np.concatenate(self._kf_dts)
+        return self._integrate_window(g, a, d, self.cfg.max_imu_per_kf)
+
+    def _insert_keyframe(self, sf: StereoFrame, t, matched):
+        cfg = self.cfg
+        preint = self._kf_preint_state()
+        self.map, kf_id = insert_keyframe(
+            self.map,
+            jnp.float32(t),
+            self.q,
+            self.p,
+            self.v,
+            self.bg,
+            self.ba,
+            sf.feat.uv,
+            sf.u_right,
+            sf.depth,
+            sf.feat.octave,
+            sf.feat.desc,
+            sf.points_cam,
+            sf.feat.valid,
+            matched,
+            preint,
+            jnp.int32(self.last_kf_id),
+            new_mp_budget=cfg.new_mp_budget,
+        )
+        self.last_kf_id = int(kf_id)
+        self.frames_since_kf = 0
+        self._kf_gyro, self._kf_acc, self._kf_dts = [], [], []
+
+        # local BA around the new keyframe
+        if int(self.map.n_kf) >= 3:
+            self.map, _ = local_ba_step(
+                self.map, self.cam, jnp.int32(kf_id),
+                window=cfg.ba_window, max_points=cfg.ba_points, iters=cfg.ba_iters,
+            )
+            # adopt the refined keyframe pose as the current estimate
+            self.q = self.map.kf_q[kf_id]
+            self.p = self.map.kf_p[kf_id]
+
+        self.kfs_since_cull += 1
+        if self.kfs_since_cull >= cfg.cull_every_kfs:
+            self.map = cull_map_points(self.map)
+            self.kfs_since_cull = 0
+
+        self.ref_inliers = max(int(jnp.sum(matched >= 0)), 1)
+
+        if (
+            cfg.use_imu
+            and not self.imu_initialized
+            and int(self.map.n_kf) >= cfg.imu_init_kfs
+        ):
+            self._try_imu_init()
+
+    def _try_imu_init(self):
+        """Gravity/velocity/bias initialization once enough keyframes exist.
+        (reference: imu_init.rs:65-233 + inertial_init_optim.rs:252)"""
+        from orbslam3_tpu.optim.imu_init import inertial_init
+
+        n_kf = int(self.map.n_kf)
+        W = min(n_kf, 16)
+        ids = list(range(n_kf - W, n_kf))
+        span = float(self.map.kf_time[ids[-1]] - self.map.kf_time[ids[0]])
+        if span < self.cfg.imu_init_min_time:
+            return
+        qs = self.map.kf_q[jnp.asarray(ids)]
+        ps = self.map.kf_p[jnp.asarray(ids)]
+        # edge i: preint stored on kf ids[i+1] (integration from its prev)
+        edge_ids = jnp.asarray(ids[1:])
+        preints = jax.tree.map(lambda a: a[edge_ids], self.map.kf_preint)
+        edge_valid = preints.dt > 1e-4
+        if int(jnp.sum(edge_valid)) < W - 2:
+            return
+        res = inertial_init(qs, ps, preints, edge_valid)
+        g_norm = float(jnp.linalg.norm(res.gravity_w))
+        if not (8.5 < g_norm < 11.0) or not float(res.cost1) < float(res.cost0):
+            return
+        self.gravity_w = res.gravity_w
+        self.bg = res.bias_g
+        self.ba = res.bias_a
+        self.v = res.vels[-1]
+        # write velocities/biases back to the keyframes
+        idx = jnp.asarray(ids)
+        kf_v = self.map.kf_v.at[idx].set(res.vels)
+        kf_bg = self.map.kf_bg.at[idx].set(jnp.tile(res.bias_g, (W, 1)))
+        kf_ba = self.map.kf_ba.at[idx].set(jnp.tile(res.bias_a, (W, 1)))
+        self.map = self.map._replace(kf_v=kf_v, kf_bg=kf_bg, kf_ba=kf_ba)
+        self.imu_initialized = True
+
+    def _initialize(self, sf: StereoFrame, t):
+        """First keyframe at the origin (world := first body frame).
+        (reference: tracker.rs:748-806 initialize_map)"""
+        n_stereo = int(jnp.sum(sf.has_depth))
+        if n_stereo < 50:
+            return FrameResult(t, np.asarray(self.q), np.asarray(self.p), 0, 0,
+                               "NotInitialized", False)
+        matched = jnp.full((sf.feat.uv.shape[0],), -1, jnp.int32)
+        self._insert_keyframe(sf, t, matched)
+        self.state = "Ok"
+        self.ref_inliers = n_stereo
+        res = FrameResult(t, np.asarray(self.q), np.asarray(self.p), n_stereo,
+                          n_stereo, "Ok", True)
+        self.trajectory.append(res)
+        self.last_t = t
+        return res
+
+    # ------------------------------------------------------------------
+    def trajectory_arrays(self):
+        ts = np.array([r.t for r in self.trajectory])
+        ps = np.stack([r.p for r in self.trajectory])
+        qs = np.stack([r.q for r in self.trajectory])
+        return ts, ps, qs

@@ -1,0 +1,117 @@
+"""Frame tracking: local-map projection matching + robust pose solve.
+
+Replaces /root/reference/src/tracking/tracker.rs (1242 lines of per-feature
+loops, grid queries, OpenCV PnP) with three jitted programs:
+
+  * match_local_map — frustum-select map points against the predicted pose,
+    dense masked (P_local x N) Hamming+radius cost, mutual-best assignment.
+    This subsumes the reference's FeatureGrid radius queries
+    (tracking_frame.rs:23-169) and track_local_map loops (tracker.rs:810-948).
+  * pose_optimize / pose_inertial_optimize (optim/pose_only.py)
+  * update_point_counters — visible/found statistics for culling.
+
+The host-side Tracker class owns the state machine
+(NotInitialized/Ok/RecentlyLost/Lost — reference: tracking/state.rs) and the
+keyframe decision (reference: keyframe_decision.rs).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from orbslam3_tpu.frontend.camera import Camera
+from orbslam3_tpu.map.slam_map import MapState
+from orbslam3_tpu.ops.hamming import hamming_matrix
+
+
+class TrackConfig(NamedTuple):
+    p_local: int = 4096  # local map points considered per frame
+    match_radius: float = 12.0  # base search radius [px], scaled by octave
+    max_hamming: int = 64
+    view_cos_min: float = 0.4  # viewing-angle gate vs stored normal
+    frustum_margin: float = 10.0
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def match_local_map(
+    st: MapState,
+    cam: Camera,
+    uv,
+    desc,
+    octave,
+    feat_valid,
+    q_pred,
+    p_pred,
+    cfg: TrackConfig = TrackConfig(),
+):
+    """Project map points into the predicted frame and match descriptors.
+
+    Returns:
+      matched_mp: (N,) int32 map point id per keypoint (-1 none)
+      mp_w: (N, 3) matched point world positions (garbage where -1)
+      visible_ids: (P,) mp ids counted as frustum-visible (for counters)
+      visible_ok: (P,) bool
+    """
+    from orbslam3_tpu.geometry import quat
+
+    M = st.mp_pos.shape[0]
+    N = uv.shape[0]
+
+    in_map = st.mp_valid & (st.mp_map_id == st.active_map)
+    rel = st.mp_pos - p_pred[None]
+    xc = quat.rotate(quat.conj(q_pred)[None], rel)
+    z = xc[:, 2]
+    proj = cam.project(xc)
+    dist = jnp.linalg.norm(rel, axis=-1)
+    view_dir = rel / dist[:, None].clip(1e-6)
+    view_cos = jnp.sum(view_dir * st.mp_normal, -1)
+    in_frustum = (
+        in_map
+        & (z > 0.2)
+        & cam.in_view(proj, cfg.frustum_margin)
+        & (dist >= 0.7 * st.mp_min_dist)
+        & (dist <= 1.4 * st.mp_max_dist)
+        & (view_cos >= cfg.view_cos_min)
+    )
+
+    P = cfg.p_local
+    _, sel = jax.lax.top_k(in_frustum.astype(jnp.float32), P)
+    sel_ok = in_frustum[sel]
+
+    d_desc = hamming_matrix(st.mp_desc[sel], desc).astype(jnp.float32)  # (P, N)
+    duv = jnp.linalg.norm(proj[sel][:, None] - uv[None], axis=-1)  # (P, N)
+    radius = cfg.match_radius * 1.2 ** octave.astype(jnp.float32)  # (N,)
+    ok = (
+        sel_ok[:, None]
+        & feat_valid[None, :]
+        & (duv <= radius[None, :])
+        & (d_desc <= cfg.max_hamming)
+    )
+    BIG = 1e6
+    cost = jnp.where(ok, d_desc, BIG)
+
+    best_p = jnp.argmin(cost, axis=0)  # (N,) best local-mp row per keypoint
+    best_val = jnp.min(cost, axis=0)
+    best_n = jnp.argmin(cost, axis=1)  # (P,) best keypoint per local mp
+    mutual = best_n[best_p] == jnp.arange(N)
+    good = (best_val < BIG) & mutual
+    matched = jnp.where(good, sel[best_p], -1)
+    mp_w = st.mp_pos[jnp.clip(matched, 0, M - 1)]
+    return matched, mp_w, sel, sel_ok
+
+
+@jax.jit
+def update_point_counters(mp_visible, mp_found, visible_ids, visible_ok, matched_mp, inlier):
+    """visible += 1 for frustum hits; found += 1 for tracking inliers.
+    Returns the two updated counter arrays (host patches them into MapState).
+    (reference: map_point.rs visible/found counters driving the cull rule)
+    """
+    vis = mp_visible.at[jnp.where(visible_ok, visible_ids, 0)].add(
+        visible_ok.astype(jnp.int32)
+    )
+    ok = (matched_mp >= 0) & inlier
+    fnd = mp_found.at[jnp.where(ok, matched_mp, 0)].add(ok.astype(jnp.int32))
+    return vis, fnd

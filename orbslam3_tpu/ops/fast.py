@@ -105,6 +105,65 @@ def mask_border(score, border: int, valid_h: int | None = None, valid_w: int | N
     return score * (my[:, None] & mx[None, :])
 
 
+def corner_subpix(img, ys, xs, win: int = 4):
+    """Gradient-based corner localization (cornerSubPix-style), batched.
+
+    Solves sum_i w_i (grad I_i grad I_i^T)(x_i - p) = 0 over a (2win+1)^2
+    window: the stationary point of the local gradient field, which is the
+    exact saddle/corner location — unlike the FAST score peak, which sits
+    1-2 px inside a quadrant. Returns (dy, dx) offsets from the integer
+    keypoint, clamped to +-win.
+    """
+    from orbslam3_tpu.ops.brief import gather_patches
+
+    size = 2 * win + 3  # +1 px margin each side for central differences
+    P = gather_patches(img, ys, xs, size)  # (N, S, S)
+    gx = 0.5 * (P[:, 1:-1, 2:] - P[:, 1:-1, :-2])  # (N, 2w+1, 2w+1)
+    gy = 0.5 * (P[:, 2:, 1:-1] - P[:, :-2, 1:-1])
+    r = jnp.arange(-win, win + 1, dtype=jnp.float32)
+    Y, X = jnp.meshgrid(r, r, indexing="ij")
+    w = jnp.exp(-(X**2 + Y**2) / (2.0 * (win / 1.5) ** 2))
+
+    gxx = jnp.sum(w * gx * gx, axis=(1, 2))
+    gxy = jnp.sum(w * gx * gy, axis=(1, 2))
+    gyy = jnp.sum(w * gy * gy, axis=(1, 2))
+    bx = jnp.sum(w * (gx * gx * X + gx * gy * Y), axis=(1, 2))
+    by = jnp.sum(w * (gx * gy * X + gy * gy * Y), axis=(1, 2))
+    det = gxx * gyy - gxy * gxy
+    det_safe = jnp.where(jnp.abs(det) > 1e-6, det, 1e-6)
+    dx = (gyy * bx - gxy * by) / det_safe
+    dy = (gxx * by - gxy * bx) / det_safe
+    ok = jnp.abs(det) > 1e-6
+    dx = jnp.where(ok, jnp.clip(dx, -win, win), 0.0)
+    dy = jnp.where(ok, jnp.clip(dy, -win, win), 0.0)
+    return dy, dx
+
+
+def subpixel_refine(score, ys, xs):
+    """Quadratic (parabola) sub-pixel peak refinement on the score map.
+
+    Returns (dy, dx) offsets in [-0.5, 0.5] for each integer peak. Integer
+    FAST peaks carry ~0.5-2 px quantization error which, through stereo
+    disparity, becomes meter-level depth error at range — this recovers
+    most of it for ~free (two gathers + a few VPU ops).
+    """
+    h, w = score.shape
+    y0 = jnp.clip(ys, 1, h - 2)
+    x0 = jnp.clip(xs, 1, w - 2)
+    c = score[y0, x0]
+    l = score[y0, x0 - 1]
+    r = score[y0, x0 + 1]
+    u = score[y0 - 1, x0]
+    d = score[y0 + 1, x0]
+
+    def para(m, c_, p):
+        denom = m - 2.0 * c_ + p
+        off = 0.5 * (m - p) / jnp.where(jnp.abs(denom) > 1e-6, denom, 1e-6)
+        return jnp.clip(off, -0.5, 0.5)
+
+    return para(u, c, d), para(l, c, r)
+
+
 @partial(jax.jit, static_argnames=("cell", "k_cell", "n_out"))
 def select_keypoints(score, cell: int = 32, k_cell: int = 4, n_out: int = 256):
     """Spatially-distributed top-k selection with fixed output shape.

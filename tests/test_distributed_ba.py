@@ -1,0 +1,75 @@
+"""Distributed global BA on the virtual 8-device CPU mesh: convergence +
+shard-count invariance (1-device result == 8-device result).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from orbslam3_tpu.frontend.camera import Camera
+from orbslam3_tpu.parallel.distributed_ba import GlobalBAPoints, distributed_global_ba
+
+RNG = np.random.default_rng(9)
+CAM = Camera.create(458.0, 458.0, 376.0, 240.0, 0.11)
+
+
+def make_problem(K=6, P=256, O=8, noise_px=0.3):
+    p_gt = np.stack([np.linspace(0, 2.5, K), np.zeros(K), np.zeros(K)], -1).astype(np.float32)
+    q_gt = np.tile(np.array([1.0, 0, 0, 0], np.float32), (K, 1))
+    Xw = np.stack(
+        [RNG.uniform(-4, 6, P), RNG.uniform(-3, 3, P), RNG.uniform(4, 14, P)], -1
+    ).astype(np.float32)
+    obs_kf = np.full((P, O), -1, np.int32)
+    obs_uv = np.zeros((P, O, 2), np.float32)
+    obs_ur = np.full((P, O), -1.0, np.float32)
+    obs_oct = np.zeros((P, O), np.int32)
+    for i in range(P):
+        ks = RNG.choice(K, min(O, 4), replace=False)
+        for j, k in enumerate(ks):
+            xc = Xw[i] - p_gt[k]
+            z = xc[2]
+            u = 458.0 * xc[0] / z + 376.0 + RNG.normal(0, noise_px)
+            v = 458.0 * xc[1] / z + 240.0 + RNG.normal(0, noise_px)
+            obs_kf[i, j] = k
+            obs_uv[i, j] = (u, v)
+            obs_ur[i, j] = u - float(CAM.bf) / z + RNG.normal(0, noise_px)
+    pts = GlobalBAPoints(
+        Xw=jnp.asarray(Xw + RNG.normal(0, 0.1, (P, 3)).astype(np.float32)),
+        pt_valid=jnp.ones(P, bool),
+        obs_kf=jnp.asarray(obs_kf),
+        obs_uv=jnp.asarray(obs_uv),
+        obs_ur=jnp.asarray(obs_ur),
+        obs_oct=jnp.asarray(obs_oct),
+    )
+    p0 = p_gt + RNG.normal(0, 0.04, (K, 3)).astype(np.float32)
+    p0[0] = p_gt[0]
+    return q_gt, p_gt, p0, Xw, pts
+
+
+class TestDistributedBA:
+    def test_converges_on_8_device_mesh(self):
+        devs = jax.devices()
+        assert len(devs) >= 8, "conftest must force 8 CPU devices"
+        mesh = Mesh(np.array(devs[:8]), ("pt",))
+        q_gt, p_gt, p0, Xw_gt, pts = make_problem()
+        K = len(p_gt)
+        opt = jnp.asarray([False] + [True] * (K - 1))
+        q, p, Xw = distributed_global_ba(
+            mesh, pts, jnp.asarray(q_gt), jnp.asarray(p0), opt, CAM, iters=10
+        )
+        err = np.linalg.norm(np.asarray(p) - p_gt, axis=-1)
+        assert err.max() < 0.02, err
+
+    def test_shard_invariance(self):
+        """1-device and 8-device meshes give the same answer (bitwise-close)."""
+        devs = jax.devices()
+        q_gt, p_gt, p0, Xw_gt, pts = make_problem()
+        K = len(p_gt)
+        opt = jnp.asarray([False] + [True] * (K - 1))
+        mesh1 = Mesh(np.array(devs[:1]), ("pt",))
+        mesh8 = Mesh(np.array(devs[:8]), ("pt",))
+        q1, p1, X1 = distributed_global_ba(mesh1, pts, jnp.asarray(q_gt), jnp.asarray(p0), opt, CAM, iters=5)
+        q8, p8, X8 = distributed_global_ba(mesh8, pts, jnp.asarray(q_gt), jnp.asarray(p0), opt, CAM, iters=5)
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p8), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(X1), np.asarray(X8), atol=1e-3)

@@ -1,0 +1,120 @@
+"""SoA map tests: insertion, association, covisibility bookkeeping, culling.
+Mirrors the reference's map tests (map.rs:962-1207) against the array design.
+"""
+import jax.numpy as jnp
+import numpy as np
+
+from orbslam3_tpu.geometry import quat
+from orbslam3_tpu.imu.preintegration import PreintState
+from orbslam3_tpu.map.slam_map import (
+    MapCapacity,
+    MapState,
+    cull_map_points,
+    empty_map,
+    insert_keyframe,
+    local_window,
+    mp_slots_for_kfs,
+)
+
+CAP = MapCapacity(max_kf=8, n_feat=32, max_mp=128, max_obs=8)
+
+
+def make_kf_inputs(n_feat=32, n_depth=16, matched=None, seed=0):
+    rng = np.random.default_rng(seed)
+    uv = jnp.asarray(rng.uniform(0, 400, (n_feat, 2)), jnp.float32)
+    depth = jnp.full((n_feat,), -1.0).at[:n_depth].set(
+        jnp.asarray(rng.uniform(1, 10, n_depth), jnp.float32)
+    )
+    pts = jnp.concatenate([uv * 0.01, jnp.maximum(depth, 1.0)[:, None]], -1)
+    m = jnp.full((n_feat,), -1, jnp.int32)
+    if matched is not None:
+        for f, mp in matched:
+            m = m.at[f].set(mp)
+    return dict(
+        time=jnp.float32(0.0),
+        q_wb=quat.identity(),
+        p_w=jnp.zeros(3),
+        vel=jnp.zeros(3),
+        bias_g=jnp.zeros(3),
+        bias_a=jnp.zeros(3),
+        uv=uv,
+        u_right=jnp.full((n_feat,), -1.0),
+        depth=depth,
+        octave=jnp.zeros((n_feat,), jnp.int32),
+        desc=jnp.asarray(rng.integers(0, 255, (n_feat, 32)), jnp.uint8),
+        points_cam=pts,
+        feat_valid=jnp.ones((n_feat,), bool),
+        matched_mp=m,
+        preint=PreintState.identity(),
+        prev_kf=jnp.int32(-1),
+    )
+
+
+class TestInsert:
+    def test_first_keyframe_creates_points(self):
+        st = empty_map(CAP)
+        st, k0 = insert_keyframe(st, **make_kf_inputs(), new_mp_budget=16)
+        assert int(st.n_kf) == 1
+        assert int(st.n_mp) == 16  # 16 features had depth
+        assert bool(st.kf_valid[0])
+        # each new point observed once by kf 0
+        assert int(jnp.sum(st.mp_obs_n[: int(st.n_mp)])) == 16
+        assert np.all(np.asarray(st.mp_obs_kf[: 16, 0]) == 0)
+
+    def test_second_keyframe_covisibility(self):
+        st = empty_map(CAP)
+        st, k0 = insert_keyframe(st, **make_kf_inputs(), new_mp_budget=16)
+        # second KF matches 10 of kf0's points
+        matched = [(i, i) for i in range(10)]
+        inputs = make_kf_inputs(matched=matched, seed=1)
+        st, k1 = insert_keyframe(st, **inputs, new_mp_budget=16)
+        assert int(st.n_kf) == 2
+        assert int(st.covis[0, 1]) == 10
+        assert int(st.covis[1, 0]) == 10
+        # matched points got a second observation
+        assert np.all(np.asarray(st.mp_obs_n[:10]) == 2)
+
+    def test_local_window(self):
+        st = empty_map(CAP)
+        st, _ = insert_keyframe(st, **make_kf_inputs(), new_mp_budget=16)
+        st, _ = insert_keyframe(
+            st, **make_kf_inputs(matched=[(i, i) for i in range(10)], seed=1), new_mp_budget=8
+        )
+        st, _ = insert_keyframe(
+            st, **make_kf_inputs(matched=[(i, i) for i in range(4)], seed=2), new_mp_budget=8
+        )
+        ids, valid = local_window(st, jnp.int32(2), 3)
+        ids, valid = np.asarray(ids), np.asarray(valid)
+        assert ids[0] == 2
+        # kf0 shares 4 points with kf2; kf1 shares 4 too (they both observe 0..3)
+        assert set(ids[valid][1:]) <= {0, 1}
+
+    def test_mp_slots_for_kfs(self):
+        st = empty_map(CAP)
+        st, _ = insert_keyframe(st, **make_kf_inputs(), new_mp_budget=16)
+        ids, valid = mp_slots_for_kfs(st, jnp.asarray([0]), jnp.asarray([True]), 32)
+        assert int(valid.sum()) == 16
+
+
+class TestCull:
+    def test_cull_weak_points(self):
+        st = empty_map(CAP)
+        st, _ = insert_keyframe(st, **make_kf_inputs(), new_mp_budget=16)
+        st, _ = insert_keyframe(
+            st, **make_kf_inputs(matched=[(i, i) for i in range(8)], seed=1), new_mp_budget=0
+        )
+        st, _ = insert_keyframe(
+            st, **make_kf_inputs(matched=[(i, i) for i in range(8)], seed=2), new_mp_budget=0
+        )
+        n_before = int(jnp.sum(st.mp_valid))
+        st2 = cull_map_points(st, min_obs=2, min_found_ratio=0.0, grace_kfs=2)
+        n_after = int(jnp.sum(st2.mp_valid))
+        # points 8..15 have only 1 obs and are older than grace -> culled
+        assert n_before == 16
+        assert n_after == 8
+        # covisibility between kf0..2 intact (came from points 0..7)
+        assert int(st2.covis[0, 1]) == 8
+        # culled points cleared from kf feature table
+        refs = np.asarray(st2.kf_mp[0])
+        live = refs[refs >= 0]
+        assert set(live) <= set(range(8))
