@@ -1,0 +1,299 @@
+"""Loop closer: BoW detection -> consistency -> Sim3 verify -> pose-graph
+correction -> map-point transform (-> optional global BA).
+
+Capability parity with /root/reference/src/loop_closing/ (detector.rs,
+corrector.rs, loop_closer.rs) with the structural changes:
+  * candidate scoring is ONE dense L1-score pass over every stored keyframe
+    BoW vector (detector.rs:301-368 scans KFs in a loop);
+  * geometric verification matches the two keyframes' map-point features
+    with a dense mutual-best Hamming matrix (corrector.rs:229-306);
+  * correction runs the essential-graph pose-graph optimizer
+    (optim/pose_graph.py) — the reference implements but never calls its
+    pose graph, using rigid propagation instead (SURVEY.md §2.1 #27);
+  * no pause/resume flag handshake with local mapping: the host serializes
+    map mutations between jitted programs (§7.3 item 7).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orbslam3_tpu.frontend.camera import Camera
+from orbslam3_tpu.geometry import quat
+from orbslam3_tpu.geometry.sim3 import Sim3
+from orbslam3_tpu.loop import vocab as vb
+from orbslam3_tpu.loop.sim3 import sim3_ransac
+from orbslam3_tpu.map.slam_map import MapState
+from orbslam3_tpu.ops.hamming import hamming_matrix
+from orbslam3_tpu.optim.pose_graph import PoseGraphProblem, solve_pose_graph
+
+
+class LoopConfig(NamedTuple):
+    min_score: float = 0.05  # absolute BoW score floor
+    score_ratio: float = 0.75  # relative to weakest covisible score
+    recent_gap: int = 15  # keyframe-id exclusion window (ref: 30)
+    consistency_needed: int = 3  # consecutive-KF consistency (ref: 3)
+    match_hamming_max: int = 50  # KF-KF descriptor gate (ref: dist<50)
+    min_sim3_matches: int = 20
+    min_sim3_inliers: int = 15  # (ref: >=15)
+    sim3_inlier_thr: float = 0.3  # [m] 3D consistency
+    covis_edge_weight_min: int = 30  # pose-graph covisibility edges
+    covis_edges_per_node: int = 6
+    pose_graph_iters: int = 10
+    loop_edge_weight: float = 100.0  # (ref: loop edge weight 100)
+
+
+class LoopStats(NamedTuple):
+    candidates_checked: int = 0
+    consistent: int = 0
+    verified: int = 0
+    corrected: int = 0
+
+
+def _make_bow_fn(vocab: vb.Vocabulary):
+    """jit with the vocabulary closed over (its arrays become constants;
+    its k/levels stay Python ints so the descent loop unrolls)."""
+
+    @jax.jit
+    def bow_fn(desc, valid):
+        bowv, _ = vb.transform(vocab, desc, valid)
+        return bowv
+
+    return bow_fn
+
+
+@jax.jit
+def _match_kf_pair(desc_a, valid_a, mp_a, desc_b, valid_b, mp_b):
+    """Mutual-best Hamming matches between two keyframes' map-point-bearing
+    features. Returns (idx_a (N,), idx_b (N,), ok (N,)) aligned to A rows."""
+    D = hamming_matrix(desc_a, desc_b).astype(jnp.float32)
+    ok_a = valid_a & (mp_a >= 0)
+    ok_b = valid_b & (mp_b >= 0)
+    BIG = 1e6
+    cost = jnp.where(ok_a[:, None] & ok_b[None, :], D, BIG)
+    best_b = jnp.argmin(cost, axis=1)
+    best_val = jnp.min(cost, axis=1)
+    best_a_of_b = jnp.argmin(cost, axis=0)
+    mutual = best_a_of_b[best_b] == jnp.arange(cost.shape[0])
+    ok = (best_val < BIG) & mutual
+    return best_b, best_val, ok
+
+
+class LoopCloser:
+    def __init__(self, vocabulary: vb.Vocabulary, cfg: LoopConfig = LoopConfig()):
+        self.vocab = vocabulary
+        self._bow_fn = _make_bow_fn(vocabulary)
+        self.cfg = cfg
+        self.bow: Optional[jnp.ndarray] = None  # (K_cap, V)
+        self.stats = LoopStats()
+        self._consistency_groups: list[tuple[set, int]] = []
+        self.last_loop_kf = -100
+
+    # ------------------------------------------------------------------
+    def _ensure_storage(self, st: MapState):
+        if self.bow is None:
+            K = st.kf_valid.shape[0]
+            self.bow = jnp.zeros((K, self.vocab.n_leaves), jnp.float32)
+
+    def on_keyframe(self, st: MapState, kf_id: int, cam: Camera):
+        """Process a new keyframe. Returns (MapState, corrected: bool)."""
+        cfg = self.cfg
+        self._ensure_storage(st)
+        bowv = self._bow_fn(st.kf_desc[kf_id], st.kf_feat_valid[kf_id])
+        self.bow = self.bow.at[kf_id].set(bowv)
+
+        if kf_id - self.last_loop_kf < cfg.recent_gap:
+            return st, False
+
+        cand = self._detect(st, kf_id, bowv)
+        if cand is None:
+            self._consistency_groups.append((set(), kf_id))
+            return st, False
+        self.stats = self.stats._replace(candidates_checked=self.stats.candidates_checked + 1)
+
+        if not self._check_consistency(st, kf_id, cand):
+            return st, False
+        self.stats = self.stats._replace(consistent=self.stats.consistent + 1)
+
+        S_rel = self._verify(st, kf_id, cand)
+        if S_rel is None:
+            return st, False
+        self.stats = self.stats._replace(verified=self.stats.verified + 1)
+
+        st = self._correct(st, kf_id, cand, S_rel)
+        self.stats = self.stats._replace(corrected=self.stats.corrected + 1)
+        self.last_loop_kf = kf_id
+        self._consistency_groups.clear()
+        return st, True
+
+    # ------------------------------------------------------------------
+    def _detect(self, st: MapState, kf_id: int, bowv):
+        """BoW candidate search (reference: detect_loop_candidates,
+        detector.rs:185)."""
+        cfg = self.cfg
+        scores = vb.score_l1(bowv, self.bow)  # (K,)
+        covis_row = np.asarray(st.covis[kf_id])
+        valid = np.asarray(st.kf_valid)
+        kf_map = np.asarray(st.kf_map_id)
+        same_map = kf_map == kf_map[kf_id]
+        s = np.asarray(scores)
+
+        connected = covis_row > 0
+        recent = np.abs(np.arange(len(s)) - kf_id) < cfg.recent_gap
+        # only keyframes that existed before the query (ids are monotonic)
+        earlier = np.arange(len(s)) < kf_id
+        mask = valid & same_map & ~connected & ~recent & earlier
+        if not mask.any():
+            return None
+
+        # min score from covisible keyframes (reference: detector.rs:264-298)
+        cov_ids = np.nonzero(connected & valid)[0]
+        if len(cov_ids):
+            min_score = max(cfg.min_score, cfg.score_ratio * float(s[cov_ids].min()))
+        else:
+            min_score = cfg.min_score
+
+        cand_scores = np.where(mask, s, -1.0)
+        best = int(cand_scores.argmax())
+        if cand_scores[best] < min_score:
+            return None
+        return best
+
+    def _check_consistency(self, st: MapState, kf_id: int, cand: int) -> bool:
+        """Candidate region must be re-detected over `consistency_needed`
+        consecutive keyframes (reference: ConsistencyChecker, detector.rs:
+        68-167). Groups = candidate + its covisible neighbors."""
+        covis = np.asarray(st.covis[cand])
+        group = set(np.nonzero(covis > 0)[0].tolist()) | {cand}
+        count = 1
+        for prev_group, _prev_kf in reversed(self._consistency_groups):
+            if group & prev_group:
+                count += 1
+            else:
+                break
+        self._consistency_groups.append((group, kf_id))
+        if len(self._consistency_groups) > 8:
+            self._consistency_groups.pop(0)
+        return count >= self.cfg.consistency_needed
+
+    def _verify(self, st: MapState, kf_id: int, cand: int):
+        """Descriptor match + Sim3 RANSAC between the two keyframes.
+        Returns S (cand_body <- cur_body) or None.
+        (reference: verify_loop_candidate, corrector.rs:116)"""
+        cfg = self.cfg
+        best_b, best_val, ok = _match_kf_pair(
+            st.kf_desc[kf_id], st.kf_feat_valid[kf_id], st.kf_mp[kf_id],
+            st.kf_desc[cand], st.kf_feat_valid[cand], st.kf_mp[cand],
+        )
+        ok = ok & (best_val <= cfg.match_hamming_max)
+        n_matches = int(jnp.sum(ok))
+        if n_matches < cfg.min_sim3_matches:
+            return None
+
+        M = st.mp_pos.shape[0]
+        mp_a = st.kf_mp[kf_id]
+        mp_b = st.kf_mp[cand][best_b]
+        Xa = st.mp_pos[jnp.clip(mp_a, 0, M - 1)]
+        Xb = st.mp_pos[jnp.clip(mp_b, 0, M - 1)]
+        ok = ok & st.mp_valid[jnp.clip(mp_a, 0, M - 1)] & st.mp_valid[jnp.clip(mp_b, 0, M - 1)]
+
+        # express in each keyframe's body frame (world estimates disagree
+        # exactly by the accumulated drift we want to measure)
+        qa, pa_ = st.kf_q[kf_id], st.kf_p[kf_id]
+        qb, pb_ = st.kf_q[cand], st.kf_p[cand]
+        pa = quat.rotate(quat.conj(qa)[None], Xa - pa_[None])
+        pb = quat.rotate(quat.conj(qb)[None], Xb - pb_[None])
+
+        key = jax.random.PRNGKey(kf_id)
+        S, inl, n_inl = sim3_ransac(
+            pa, pb, ok, key, inlier_thr=cfg.sim3_inlier_thr, fix_scale=True
+        )
+        if int(n_inl) < cfg.min_sim3_inliers:
+            return None
+        return S
+
+    def _correct(self, st: MapState, kf_id: int, cand: int, S_rel: Sim3):
+        """Pose-graph correction over the essential graph, then map-point
+        transform by each point's reference keyframe correction."""
+        cfg = self.cfg
+        K = st.kf_valid.shape[0]
+        valid = st.kf_valid & (st.kf_map_id == st.kf_map_id[kf_id])
+
+        nodes = Sim3(st.kf_q, st.kf_p, jnp.ones((K,)))
+
+        # --- edges: temporal chain + top covisibility pairs + loop edge
+        prev = st.kf_prev
+        t_i = jnp.clip(prev, 0, K - 1)
+        t_j = jnp.arange(K, dtype=jnp.int32)
+        t_ok = (prev >= 0) & valid & valid[t_i]
+
+        w_cov, cov_j = jax.lax.top_k(
+            jnp.where(valid[:, None] & valid[None, :], st.covis, 0),
+            cfg.covis_edges_per_node,
+        )  # per row
+        c_i = jnp.repeat(jnp.arange(K, dtype=jnp.int32), cfg.covis_edges_per_node)
+        c_j = cov_j.reshape(-1).astype(jnp.int32)
+        c_ok = (w_cov.reshape(-1) >= cfg.covis_edge_weight_min) & (c_i < c_j)
+
+        l_i = jnp.asarray([cand], jnp.int32)
+        l_j = jnp.asarray([kf_id], jnp.int32)
+        l_ok = jnp.asarray([True])
+
+        e_i = jnp.concatenate([t_i, c_i, l_i])
+        e_j = jnp.concatenate([t_j, c_j, l_j])
+        e_ok = jnp.concatenate([t_ok, c_ok, l_ok])
+        e_w = jnp.concatenate(
+            [
+                jnp.full(K, 1.0),
+                jnp.full(K * cfg.covis_edges_per_node, 1.0),
+                jnp.full(1, cfg.loop_edge_weight),
+            ]
+        )
+
+        # measurements: current relative estimates, except the loop edge
+        # which uses the Sim3 solve: S_ij = S_i^-1 S_j with i=cand, j=cur
+        # measured as S_rel^-1 (S_rel maps cur-body -> cand-body = T_cand_cur
+        # = S_cand^-1 S_cur ... so measured S_ij IS S_rel).
+        def meas(i, j):
+            S_i = jax.tree.map(lambda a: a[i], nodes)
+            S_j = jax.tree.map(lambda a: a[j], nodes)
+            return S_i.inverse().compose(S_j)
+
+        e_meas = jax.vmap(meas)(e_i, e_j)
+        # overwrite the loop edge measurement
+        e_meas = jax.tree.map(
+            lambda a, v: a.at[-1].set(v), e_meas, S_rel
+        )
+
+        fixed = jnp.zeros((K,), bool).at[cand].set(True) | ~valid
+        prob = PoseGraphProblem(
+            nodes=nodes,
+            node_valid=valid,
+            node_fixed=fixed,
+            e_i=e_i,
+            e_j=e_j,
+            e_meas=e_meas,
+            e_weight=e_w,
+            e_valid=e_ok,
+        )
+        new_nodes, costs = solve_pose_graph(prob, iters=cfg.pose_graph_iters)
+
+        # --- apply: keyframes
+        kf_q = jnp.where(valid[:, None], quat.normalize(new_nodes.q), st.kf_q)
+        kf_p = jnp.where(valid[:, None], new_nodes.t, st.kf_p)
+
+        # --- map points: transform by reference keyframe's correction
+        M = st.mp_pos.shape[0]
+        ref = jnp.clip(st.mp_first_kf, 0, K - 1)
+        q_old, p_old = st.kf_q[ref], st.kf_p[ref]
+        q_new, p_new = kf_q[ref], kf_p[ref]
+        # X' = T_new (T_old^-1 X)
+        X_body = quat.rotate(quat.conj(q_old), st.mp_pos - p_old)
+        X_corr = quat.rotate(q_new, X_body) + p_new
+        mp_ok = st.mp_valid & (st.mp_first_kf >= 0)
+        mp_pos = jnp.where(mp_ok[:, None], X_corr, st.mp_pos)
+
+        return st._replace(kf_q=kf_q, kf_p=kf_p, mp_pos=mp_pos)

@@ -52,6 +52,7 @@ class MapState(NamedTuple):
     kf_octave: jnp.ndarray  # (K, N) int32
     kf_desc: jnp.ndarray  # (K, N, 32) uint8
     kf_mp: jnp.ndarray  # (K, N) int32 map point id (-1 = none)
+    kf_feat_valid: jnp.ndarray  # (K, N) bool — padded feature slots are False
     # stored preintegration from kf_prev -> this kf (batched PreintState)
     kf_preint: PreintState
     # --- map points (M rows)
@@ -117,6 +118,7 @@ def empty_map(cap: MapCapacity = MapCapacity()) -> MapState:
         kf_octave=jnp.zeros((K, N), i),
         kf_desc=jnp.zeros((K, N, 32), jnp.uint8),
         kf_mp=jnp.full((K, N), -1, i),
+        kf_feat_valid=jnp.zeros((K, N), bool),
         kf_preint=preint_batch(),
         mp_pos=jnp.zeros((M, 3), f),
         mp_desc=jnp.zeros((M, 32), jnp.uint8),
@@ -242,6 +244,7 @@ def insert_keyframe(
         kf_depth=st.kf_depth.at[k].set(depth),
         kf_octave=st.kf_octave.at[k].set(octave),
         kf_desc=st.kf_desc.at[k].set(desc),
+        kf_feat_valid=st.kf_feat_valid.at[k].set(feat_valid),
         kf_preint=jax.tree.map(lambda a, v: a.at[k].set(v), st.kf_preint, preint),
         n_kf=st.n_kf + 1,
     )

@@ -1,0 +1,224 @@
+"""Loop-closing stack tests: vocabulary, Sim3 RANSAC, pose graph, and the
+full detect->verify->correct path on a constructed drifted map."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from orbslam3_tpu.frontend.camera import Camera
+from orbslam3_tpu.geometry import quat
+from orbslam3_tpu.geometry.sim3 import Sim3
+from orbslam3_tpu.imu.preintegration import PreintState
+from orbslam3_tpu.loop import vocab as vb
+from orbslam3_tpu.loop.closer import LoopCloser, LoopConfig
+from orbslam3_tpu.loop.sim3 import horn_weighted, sim3_ransac
+from orbslam3_tpu.map.slam_map import MapCapacity, empty_map, insert_keyframe
+from orbslam3_tpu.optim.pose_graph import PoseGraphProblem, solve_pose_graph
+
+RNG = np.random.default_rng(21)
+CAM = Camera.create(240.0, 240.0, 192.0, 128.0, 0.11, 384, 256)
+
+
+class TestVocabulary:
+    def test_quantize_deterministic_and_consistent(self):
+        corpus = RNG.integers(0, 256, (2000, 32)).astype(np.uint8)
+        voc = vb.train_vocabulary(corpus, k=5, levels=3)
+        q = jnp.asarray(corpus[:64])
+        l1 = vb.quantize(voc, q, jnp.ones(64, bool))
+        l2 = vb.quantize(voc, q, jnp.ones(64, bool))
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+        assert int(l1.max()) < voc.n_leaves
+
+    def test_scores_separate_same_vs_different(self):
+        corpus = RNG.integers(0, 256, (3000, 32)).astype(np.uint8)
+        voc = vb.train_vocabulary(corpus, k=6, levels=3)
+        a = jnp.asarray(corpus[:256])
+        b = jnp.asarray(corpus[256:512])
+        ones = jnp.ones(256, bool)
+        va, _ = vb.transform(voc, a, ones)
+        vb_, _ = vb.transform(voc, b, ones)
+        s_self = float(vb.score_l1(va, va))
+        s_cross = float(vb.score_l1(va, vb_))
+        assert s_self > 0.99
+        assert s_cross < 0.6 * s_self
+
+    def test_bow_vector_normalized(self):
+        corpus = RNG.integers(0, 256, (1000, 32)).astype(np.uint8)
+        voc = vb.train_vocabulary(corpus, k=5, levels=2)
+        v, _ = vb.transform(voc, jnp.asarray(corpus[:100]), jnp.ones(100, bool))
+        assert abs(float(jnp.sum(jnp.abs(v))) - 1.0) < 1e-5
+
+
+class TestSim3Ransac:
+    def test_recovers_known_transform_with_outliers(self):
+        N = 120
+        pa = RNG.uniform(-5, 5, (N, 3)).astype(np.float32)
+        S_true = Sim3(
+            quat.from_axis_angle(jnp.asarray([0.1, 0.3, -0.2])),
+            jnp.asarray([0.5, -1.0, 0.3]),
+            jnp.ones(()),
+        )
+        pb = np.array(S_true.apply(jnp.asarray(pa)))
+        pb += RNG.normal(0, 0.01, pb.shape)
+        out = RNG.choice(N, 30, replace=False)
+        pb[out] += RNG.uniform(1, 3, (30, 3))
+        S, inl, n = sim3_ransac(
+            jnp.asarray(pa), jnp.asarray(pb), jnp.ones(N, bool),
+            jax.random.PRNGKey(0), inlier_thr=0.1,
+        )
+        assert int(n) > 70
+        np.testing.assert_allclose(np.asarray(S.t), np.asarray(S_true.t), atol=0.02)
+        dq = quat.mul(quat.conj(S.q), S_true.q)
+        assert float(jnp.linalg.norm(quat.to_axis_angle(dq))) < 0.02
+
+    def test_horn_exact(self):
+        pa = jnp.asarray(RNG.uniform(-2, 2, (20, 3)), jnp.float32)
+        S_true = Sim3(
+            quat.from_axis_angle(jnp.asarray([0.2, -0.1, 0.4])),
+            jnp.asarray([1.0, 2.0, -0.5]),
+            jnp.ones(()),
+        )
+        pb = S_true.apply(pa)
+        S = horn_weighted(pa, pb, jnp.ones(20))
+        np.testing.assert_allclose(np.asarray(S.t), np.asarray(S_true.t), atol=1e-4)
+
+
+class TestPoseGraph:
+    def test_loop_edge_redistributes_drift(self):
+        """Chain 0..9 with accumulated drift; loop edge ties node 9 to node 0
+        with the TRUE relative pose; optimization must pull node 9 home."""
+        K = 10
+        # true poses: nodes on a circle back to start
+        true_p = np.stack(
+            [np.cos(np.linspace(0, 2 * np.pi, K)), np.sin(np.linspace(0, 2 * np.pi, K)),
+             np.zeros(K)], -1
+        ).astype(np.float32)
+        qs = np.tile(np.array([1.0, 0, 0, 0], np.float32), (K, 1))
+        # drifted estimate: grows linearly, node9 off by 0.5
+        drift = np.linspace(0, 0.5, K).astype(np.float32)
+        est_p = true_p + np.stack([drift, np.zeros(K), np.zeros(K)], -1)
+
+        nodes = Sim3(jnp.asarray(qs), jnp.asarray(est_p), jnp.ones(K))
+        # temporal edges measured from TRUE relative motion
+        e_i = jnp.arange(K - 1, dtype=jnp.int32)
+        e_j = e_i + 1
+
+        def meas(i, j):
+            return Sim3(
+                jnp.asarray([1.0, 0, 0, 0]), jnp.asarray(true_p[j] - true_p[i]), jnp.ones(())
+            )
+
+        metas = [meas(i, i + 1) for i in range(K - 1)]
+        metas.append(
+            Sim3(jnp.asarray([1.0, 0, 0, 0]), jnp.asarray(true_p[0] - true_p[K - 1]), jnp.ones(()))
+        )
+        e_meas = jax.tree.map(lambda *xs: jnp.stack(xs), *metas)
+        e_i = jnp.concatenate([e_i, jnp.asarray([K - 1], jnp.int32)])
+        e_j = jnp.concatenate([e_j, jnp.asarray([0], jnp.int32)])
+
+        prob = PoseGraphProblem(
+            nodes=nodes,
+            node_valid=jnp.ones(K, bool),
+            node_fixed=jnp.zeros(K, bool).at[0].set(True),
+            e_i=e_i,
+            e_j=e_j,
+            e_meas=e_meas,
+            e_weight=jnp.ones(K).at[K - 1].set(100.0),
+            e_valid=jnp.ones(K, bool),
+        )
+        out, costs = solve_pose_graph(prob, iters=15)
+        err = np.linalg.norm(np.asarray(out.t) - true_p, axis=-1)
+        assert err.max() < 0.02, err
+
+
+def build_revisit_map(drift=np.array([0.4, 0.0, 0.2], np.float32)):
+    """Two passes over the same landmark wall; pass 2 poses are drifted.
+    Returns (MapState, lm_desc, true poses, drifted ids)."""
+    cap = MapCapacity(max_kf=16, n_feat=128, max_mp=2048, max_obs=8)
+    st = empty_map(cap)
+    L = 96
+    lm = np.stack(
+        [RNG.uniform(-3, 3, L), RNG.uniform(-2, 2, L), np.full(L, 6.0)], -1
+    ).astype(np.float32)
+    lm_desc = RNG.integers(0, 256, (L, 32)).astype(np.uint8)
+
+    def make_kf(p_est, matched_ids, p_render=None):
+        # p_render = where the camera TRULY is (observations reflect real
+        # geometry); p_est = where the SLAM estimate thinks it is.
+        p_w = p_est
+        xc = lm - (p_render if p_render is not None else p_est)
+        z = xc[:, 2]
+        uv = np.stack(
+            [240 * xc[:, 0] / z + 192, 240 * xc[:, 1] / z + 128], -1
+        ).astype(np.float32)
+        n = cap.n_feat
+        uv_full = np.zeros((n, 2), np.float32)
+        uv_full[:L] = uv
+        depth = np.full(n, -1.0, np.float32)
+        depth[:L] = z
+        pts = np.zeros((n, 3), np.float32)
+        pts[:L] = xc
+        desc = np.zeros((n, 32), np.uint8)
+        desc[:L] = lm_desc
+        fv = np.zeros(n, bool)
+        fv[:L] = True
+        mm_ = np.full(n, -1, np.int32)
+        if matched_ids is not None:
+            mm_[:L] = matched_ids
+        return dict(
+            time=jnp.float32(0.0), q_wb=quat.identity(), p_w=jnp.asarray(p_w),
+            vel=jnp.zeros(3), bias_g=jnp.zeros(3), bias_a=jnp.zeros(3),
+            uv=jnp.asarray(uv_full), u_right=jnp.full((n,), -1.0),
+            depth=jnp.asarray(depth), octave=jnp.zeros((n,), jnp.int32),
+            desc=jnp.asarray(desc), points_cam=jnp.asarray(pts),
+            feat_valid=jnp.asarray(fv), matched_mp=jnp.asarray(mm_),
+            preint=PreintState.identity(), prev_kf=jnp.int32(-1),
+        )
+
+    # pass 1: kf 0..4 along x, creating the landmarks at kf0
+    poses1 = [np.array([x, 0, 0], np.float32) for x in np.linspace(-1, 1, 5)]
+    inputs = make_kf(poses1[0], None)
+    st, _ = insert_keyframe(st, **inputs, new_mp_budget=128)
+    for p in poses1[1:]:
+        st, _ = insert_keyframe(
+            st, **make_kf(p, np.arange(L, dtype=np.int32)), new_mp_budget=0
+        )
+    # pass 2: kf 5..9 revisiting the same wall; the camera is truly at
+    # poses1 but the estimate has drifted to poses2 -> duplicate landmarks
+    # are created at drifted world positions (odometry drift, no reloc)
+    poses2 = [p + drift for p in poses1]
+    st, _ = insert_keyframe(
+        st, **make_kf(poses2[0], None, p_render=poses1[0]), new_mp_budget=128
+    )
+    drift_ids = []
+    second_ids = np.asarray(range(L, 2 * L), dtype=np.int32)
+    for p_est, p_true in zip(poses2[1:], poses1[1:]):
+        st, kid = insert_keyframe(
+            st, **make_kf(p_est, second_ids, p_render=p_true), new_mp_budget=0
+        )
+        drift_ids.append(int(kid))
+    # fix temporal chain
+    st = st._replace(kf_prev=jnp.asarray([-1, 0, 1, 2, 3, 4, 5, 6, 7, 8] + [-1] * 6, jnp.int32))
+    return st, lm_desc, poses1, poses2
+
+
+@pytest.mark.slow
+def test_loop_closure_end_to_end():
+    st, lm_desc, poses1, poses2 = build_revisit_map()
+    corpus = np.concatenate([lm_desc, RNG.integers(0, 256, (2000, 32)).astype(np.uint8)])
+    voc = vb.train_vocabulary(corpus, k=6, levels=3)
+    closer = LoopCloser(voc, LoopConfig(recent_gap=4, consistency_needed=2,
+                                        covis_edge_weight_min=10))
+    # feed pass-1 keyframes (no loops expected), then pass-2
+    corrected = False
+    for k in range(int(st.n_kf)):
+        st, c = closer.on_keyframe(st, k, CAM)
+        corrected = corrected or c
+    assert closer.stats.candidates_checked > 0, "no loop candidates found"
+    assert corrected, f"loop never corrected: {closer.stats}"
+    # pass-2 keyframe positions pulled back toward truth
+    for i, kid in enumerate(range(5, 10)):
+        est = np.asarray(st.kf_p[kid])
+        err_before = np.linalg.norm(poses2[i] - poses1[i])
+        err_after = np.linalg.norm(est - poses1[i])
+        assert err_after < 0.5 * err_before, (kid, est, poses1[i], err_after, err_before)
