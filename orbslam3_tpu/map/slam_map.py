@@ -385,3 +385,37 @@ def mp_slots_for_kfs(st: MapState, kf_ids, kf_valid, max_points: int):
     prio = seen.astype(jnp.float32)
     v, ids = jax.lax.top_k(prio, max_points)
     return ids, v > 0
+
+
+# ---------------------------------------------------------------- atlas ops
+@jax.jit
+def reset_active_map(st: MapState):
+    """Invalidate every keyframe/point of the active map (tracking lost with
+    too little map to keep — reference: atlas.rs:74-95 reset_active_map +
+    tracker.rs:549-581 policy)."""
+    kf_bad = st.kf_valid & (st.kf_map_id == st.active_map)
+    mp_bad = st.mp_valid & (st.mp_map_id == st.active_map)
+    covis = jnp.where(kf_bad[:, None] | kf_bad[None, :], 0, st.covis)
+    return st._replace(
+        kf_valid=st.kf_valid & ~kf_bad,
+        mp_valid=st.mp_valid & ~mp_bad,
+        mp_obs_kf=jnp.where(mp_bad[:, None], -1, st.mp_obs_kf),
+        mp_obs_feat=jnp.where(mp_bad[:, None], -1, st.mp_obs_feat),
+        mp_obs_n=jnp.where(mp_bad, 0, st.mp_obs_n),
+        kf_mp=jnp.where(kf_bad[:, None], -1, st.kf_mp),
+        covis=covis,
+    )
+
+
+@jax.jit
+def create_new_map(st: MapState):
+    """Archive the active map and start a fresh one (reference:
+    atlas.rs:52-73 create_new_map: old map kept, new becomes active)."""
+    return st._replace(
+        active_map=st.next_map_id,
+        next_map_id=st.next_map_id + 1,
+    )
+
+
+def count_map_keyframes(st: MapState, map_id):
+    return jnp.sum((st.kf_valid & (st.kf_map_id == map_id)).astype(jnp.int32))

@@ -26,9 +26,12 @@ from orbslam3_tpu.geometry import quat
 from orbslam3_tpu.imu import preintegration as pre
 from orbslam3_tpu.map.slam_map import (
     MapCapacity,
+    count_map_keyframes,
+    create_new_map,
     cull_map_points,
     empty_map,
     insert_keyframe,
+    reset_active_map,
 )
 from orbslam3_tpu.models.local_mapper import local_ba_step
 from orbslam3_tpu.models.tracker import TrackConfig, match_local_map, update_point_counters
@@ -57,6 +60,9 @@ class SlamConfig(NamedTuple):
     imu_init_min_time: float = 1.0
     max_imu_per_frame: int = 32
     max_imu_per_kf: int = 512
+    # atlas (reference: tracker.rs:549-581 + atlas.rs)
+    lost_timeout: float = 1.0  # RecentlyLost -> Lost after this long (ref 5 s)
+    min_kfs_keep_map: int = 10  # smaller maps are reset, larger archived
 
 
 class FrameResult(NamedTuple):
@@ -98,6 +104,8 @@ class SlamSystem:
         self.gravity_w = None  # estimated gravity in world frame
         self.trajectory: list[FrameResult] = []
         self._preint_frame = None
+        self.lost_since: Optional[float] = None
+        self.n_maps_created = 1
 
     # ------------------------------------------------------------------
     def _pad_imu(self, gyro, acc, dts, n):
@@ -162,6 +170,10 @@ class SlamSystem:
             # dead-reckon this frame (RecentlyLost)
             self.state = "RecentlyLost"
             self.q, self.p, self.v = q_pred, p_pred, v_pred
+            if self.lost_since is None:
+                self.lost_since = t
+            elif t - self.lost_since > cfg.lost_timeout:
+                return self._handle_lost(sf, t)
             res = FrameResult(t, np.asarray(self.q), np.asarray(self.p), n_matches, 0,
                               self.state, False)
             self.trajectory.append(res)
@@ -197,8 +209,13 @@ class SlamSystem:
         if n_inl < cfg.min_track_inliers:
             self.state = "RecentlyLost"
             q_new, p_new = q_pred, p_pred
+            if self.lost_since is None:
+                self.lost_since = t
+            elif t - self.lost_since > cfg.lost_timeout:
+                return self._handle_lost(sf, t)
         else:
             self.state = "Ok"
+            self.lost_since = None
 
         # motion model update (body-frame delta)
         self.motion_dq = quat.normalize(quat.mul(quat.conj(self.q), q_new))
@@ -305,8 +322,14 @@ class SlamSystem:
         from orbslam3_tpu.optim.imu_init import inertial_init
 
         n_kf = int(self.map.n_kf)
-        W = min(n_kf, 16)
-        ids = list(range(n_kf - W, n_kf))
+        active = int(self.map.active_map)
+        kf_valid = np.asarray(self.map.kf_valid[:n_kf])
+        kf_map = np.asarray(self.map.kf_map_id[:n_kf])
+        in_map = [k for k in range(n_kf) if kf_valid[k] and kf_map[k] == active]
+        if len(in_map) < self.cfg.imu_init_kfs:
+            return
+        ids = in_map[-16:]
+        W = len(ids)
         span = float(self.map.kf_time[ids[-1]] - self.map.kf_time[ids[0]])
         if span < self.cfg.imu_init_min_time:
             return
@@ -334,6 +357,27 @@ class SlamSystem:
         self.map = self.map._replace(kf_v=kf_v, kf_bg=kf_bg, kf_ba=kf_ba)
         self.imu_initialized = True
 
+    def _handle_lost(self, sf: StereoFrame, t):
+        """Lost: reset small maps, archive large ones and start a new map
+        (reference: handle_lost_state, tracker.rs:549-581; atlas.rs)."""
+        n_active = int(count_map_keyframes(self.map, self.map.active_map))
+        if n_active < self.cfg.min_kfs_keep_map:
+            self.map = reset_active_map(self.map)
+        else:
+            self.map = create_new_map(self.map)
+            self.n_maps_created += 1
+        self.state = "NotInitialized"
+        self.lost_since = None
+        self.last_kf_id = -1
+        self.frames_since_kf = 0
+        self.motion_dq = quat.identity()
+        self.motion_dp = jnp.zeros(3)
+        self.v = jnp.zeros(3)
+        self._kf_gyro, self._kf_acc, self._kf_dts = [], [], []
+        # re-initialize immediately from this frame (keeps the predicted
+        # pose so the trajectory stays continuous across the map change)
+        return self._initialize(sf, t)
+
     def _initialize(self, sf: StereoFrame, t):
         """First keyframe at the origin (world := first body frame).
         (reference: tracker.rs:748-806 initialize_map)"""
@@ -344,6 +388,7 @@ class SlamSystem:
         matched = jnp.full((sf.feat.uv.shape[0],), -1, jnp.int32)
         self._insert_keyframe(sf, t, matched)
         self.state = "Ok"
+        self.lost_since = None
         self.ref_inliers = n_stereo
         res = FrameResult(t, np.asarray(self.q), np.asarray(self.p), n_stereo,
                           n_stereo, "Ok", True)

@@ -1,4 +1,5 @@
 """Per-stage timing of the SLAM pipeline on the default backend."""
+import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 import numpy as np
 import jax, jax.numpy as jnp
