@@ -28,7 +28,8 @@ def main():
 
     from orbslam3_tpu.eval.metrics import ate_rmse
     from orbslam3_tpu.io.synthetic import SyntheticConfig, SyntheticWorld
-    from orbslam3_tpu.models.slam import SlamConfig, SlamSystem
+    from orbslam3_tpu.models.fused import FusedSlam
+    from orbslam3_tpu.models.slam import SlamConfig
 
     n_seconds = 8.0
     cfg = SyntheticConfig(duration=n_seconds, n_landmarks=1500)
@@ -36,14 +37,16 @@ def main():
     times = world.frame_times()
 
     # pre-render on host (rendering is dataset generation, not SLAM work)
-    frames = [world.render_frame(t) for t in times]
+    frames = [
+        tuple(x.astype(np.uint8) for x in world.render_frame(t)) for t in times
+    ]
     imu = []
     for i, t in enumerate(times):
-        t_next = times[i + 1] if i + 1 < len(times) else t + 1.0 / cfg.cam_hz
-        imu.append(world.imu_window(t, t_next))
+        t_prev = times[i - 1] if i > 0 else t
+        imu.append(world.imu_window(t_prev, t))
 
-    slam_cfg = SlamConfig(use_imu=False, kf_max_frames=4)
-    slam = SlamSystem(world.cam, slam_cfg)
+    slam_cfg = SlamConfig(use_imu=True, kf_max_frames=4)
+    slam = FusedSlam(world.cam, slam_cfg, service_every=8)
 
     # warmup: first frames trigger all compilations
     WARM = 8

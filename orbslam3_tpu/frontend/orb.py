@@ -78,8 +78,11 @@ def detect_orb(img, cfg: OrbConfig = OrbConfig()) -> Features:
         )
         dy, dx = fast_ops.corner_subpix(lv_img, ys, xs)
         blurred = pyr_ops.blur(lv_img)
-        ang = brief_ops.orientations(lv_img, ys, xs)
-        desc = brief_ops.descriptors(blurred, ys, xs, ang)
+        # ONE patch gather serves both orientation and descriptor; the
+        # intensity-centroid moments are insensitive to the sigma~2 blur
+        patches_blur = brief_ops.gather_patches(blurred, ys, xs, brief_ops.GATHER)
+        ang = brief_ops.orientations_from_patches(patches_blur)
+        desc = brief_ops.descriptors_from_patches(patches_blur, ang)
         uv = (
             jnp.stack([xs.astype(jnp.float32) + dx, ys.astype(jnp.float32) + dy], -1)
             * scale

@@ -44,6 +44,10 @@ class LoopConfig(NamedTuple):
     covis_edges_per_node: int = 6
     pose_graph_iters: int = 10
     loop_edge_weight: float = 100.0  # (ref: loop edge weight 100)
+    run_global_ba: bool = True  # reference runs global BA after correction
+    gba_max_points: int = 8192
+    gba_obs: int = 8
+    gba_iters: int = 8
 
 
 class LoopStats(NamedTuple):
@@ -123,7 +127,7 @@ class LoopCloser:
             return st, False
         self.stats = self.stats._replace(verified=self.stats.verified + 1)
 
-        st = self._correct(st, kf_id, cand, S_rel)
+        st = self._correct(st, kf_id, cand, S_rel, cam)
         self.stats = self.stats._replace(corrected=self.stats.corrected + 1)
         self.last_loop_kf = kf_id
         self._consistency_groups.clear()
@@ -215,7 +219,7 @@ class LoopCloser:
             return None
         return S
 
-    def _correct(self, st: MapState, kf_id: int, cand: int, S_rel: Sim3):
+    def _correct(self, st: MapState, kf_id: int, cand: int, S_rel: Sim3, cam: Camera):
         """Pose-graph correction over the essential graph, then map-point
         transform by each point's reference keyframe correction."""
         cfg = self.cfg
@@ -295,5 +299,36 @@ class LoopCloser:
         X_corr = quat.rotate(q_new, X_body) + p_new
         mp_ok = st.mp_valid & (st.mp_first_kf >= 0)
         mp_pos = jnp.where(mp_ok[:, None], X_corr, st.mp_pos)
+        st = st._replace(kf_q=kf_q, kf_p=kf_p, mp_pos=mp_pos)
 
-        return st._replace(kf_q=kf_q, kf_p=kf_p, mp_pos=mp_pos)
+        if cfg.run_global_ba:
+            st = self._global_ba(st, cand, cam)
+        return st
+
+    def _global_ba(self, st: MapState, anchor_kf: int, cam: Camera):
+        """Whole-map BA after loop correction (reference: run_global_ba,
+        global_ba.rs:450, run synchronously in the loop-closer thread).
+        Runs the landmark-sharded distributed solver on however many
+        devices are present (1 on a single chip; N on a mesh)."""
+        import numpy as np
+
+        from jax.sharding import Mesh
+        from orbslam3_tpu.parallel.distributed_ba import (
+            distributed_global_ba,
+            make_point_table,
+        )
+
+        cfg = self.cfg
+        devs = jax.devices()
+        n_dev = len(devs)
+        P = (cfg.gba_max_points // n_dev) * n_dev
+        pts, ids = make_point_table(st, P, cfg.gba_obs)
+        mesh = Mesh(np.array(devs), ("pt",))
+        K = st.kf_valid.shape[0]
+        opt = st.kf_valid & (jnp.arange(K) != anchor_kf)
+        q, p, Xw = distributed_global_ba(
+            mesh, pts, st.kf_q, st.kf_p, opt, cam, iters=cfg.gba_iters
+        )
+        ids = jnp.asarray(np.asarray(ids))
+        mp_pos = st.mp_pos.at[ids].set(Xw[: ids.shape[0]])
+        return st._replace(kf_q=q, kf_p=p, mp_pos=mp_pos)

@@ -320,25 +320,31 @@ def cull_map_points(st: MapState, min_obs: int = 2, min_found_ratio: float = 0.2
     return _remove_map_points(st, bad)
 
 
-def _remove_map_points(st: MapState, bad_mask):
+def _remove_map_points(st: MapState, bad_mask, max_cull: int = 4096):
     """Mask-off map points: clear kf_mp references, obs lists, covisibility.
 
     Covisibility decrements are recomputed exactly: for each removed point,
-    every observer pair loses one shared observation.
+    every observer pair loses one shared observation. The pairwise update is
+    restricted to a gathered set of up to `max_cull` culled points per pass
+    (a (max_cull, O, O) scatter instead of (M, O, O) — 8-16x cheaper; a
+    pass rarely culls more than a few hundred points, and leftovers are
+    picked up next pass).
     """
     M, O = st.mp_obs_kf.shape
+    max_cull = min(max_cull, M)
+    # bound the per-pass cull set
+    _, cull_ids = jax.lax.top_k(bad_mask.astype(jnp.float32), max_cull)
+    cull_ok = bad_mask[cull_ids]
+    bad_mask = jnp.zeros((M,), bool).at[jnp.where(cull_ok, cull_ids, 0)].max(cull_ok)
+
     # clear feature -> mp references
     ref = st.kf_mp  # (K, N)
     ref_bad = (ref >= 0) & bad_mask[jnp.clip(ref, 0, M - 1)]
     kf_mp = jnp.where(ref_bad, -1, ref)
 
-    # covisibility decrements: for each bad point, for each observer pair
-    # (a, b): covis[a, b] -= 1. Batched via one-hot segment accumulation.
-    obs = st.mp_obs_kf  # (M, O)
-    obs_ok = (obs >= 0) & bad_mask[:, None]
-    K = st.covis.shape[0]
+    obs = st.mp_obs_kf[cull_ids]  # (C, O)
+    obs_ok = (obs >= 0) & cull_ok[:, None]
     obs_safe = jnp.where(obs_ok, obs, 0)
-    # pairwise (M, O, O) — O is small (16), so this is M*256 int ops
     pair_valid = obs_ok[:, :, None] & obs_ok[:, None, :]
     a = jnp.broadcast_to(obs_safe[:, :, None], pair_valid.shape)
     b = jnp.broadcast_to(obs_safe[:, None, :], pair_valid.shape)

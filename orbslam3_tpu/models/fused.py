@@ -1,0 +1,463 @@
+"""Fully-fused on-device SLAM step: ONE jitted program per frame.
+
+Why: the per-frame host orchestration in models/slam.py costs ~10
+dispatch+sync round-trips; through the TPU tunnel each sync is ~32 ms
+(measured), capping throughput at ~2.7 fps regardless of device speed.
+Here the ENTIRE tracking iteration — stereo ORB front-end, IMU
+preintegration, prediction, local-map matching, robust pose solve,
+keyframe decision, and (conditionally) keyframe insertion + local BA +
+culling + lost/atlas handling — is one XLA program over (MapState,
+TrackState). The host streams frames and reads results lazily, so
+dispatches pipeline and the tunnel latency amortizes away
+(SURVEY.md §7.3 item 5: "keep full tracker step as one jitted program").
+
+Control flow notes:
+  * keyframe insertion / BA / cull run under lax.cond — compiled once,
+    executed only on keyframe frames;
+  * the IMU window since the last keyframe is maintained as a RUNNING
+    PreintState via pre.merge (O(1) per frame) instead of re-integrating a
+    sample ring buffer (O(window) scan);
+  * rare host-side events (IMU init, loop closing) read the device state
+    asynchronously every few frames.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from orbslam3_tpu.frontend.camera import Camera
+from orbslam3_tpu.frontend.orb import detect_orb
+from orbslam3_tpu.frontend.stereo import match_stereo
+from orbslam3_tpu.geometry import quat
+from orbslam3_tpu.imu import preintegration as pre
+from orbslam3_tpu.map import slam_map as sm
+from orbslam3_tpu.models.local_mapper import (
+    apply_ba_results,
+    apply_vi_ba_results,
+    build_ba_problem,
+    build_vi_ba_problem,
+)
+from orbslam3_tpu.models.tracker import match_local_map, update_point_counters
+from orbslam3_tpu.optim.local_ba import solve_local_ba
+from orbslam3_tpu.optim.vi_ba import solve_vi_ba
+from orbslam3_tpu.optim.pose_only import pose_inertial_optimize, pose_optimize
+
+MODE_NOT_INIT = 0
+MODE_OK = 1
+MODE_RECENTLY_LOST = 2
+
+
+class TrackState(NamedTuple):
+    """Device-resident tracker state (the host never unpacks it per frame)."""
+
+    q: jnp.ndarray  # (4,)
+    p: jnp.ndarray  # (3,)
+    v: jnp.ndarray  # (3,)
+    bg: jnp.ndarray  # (3,)
+    ba: jnp.ndarray  # (3,)
+    motion_dq: jnp.ndarray  # (4,)
+    motion_dp: jnp.ndarray  # (3,)
+    mode: jnp.ndarray  # () int32
+    lost_since: jnp.ndarray  # () f32, -1 = not lost
+    last_t: jnp.ndarray  # () f32
+    frames_since_kf: jnp.ndarray  # () int32
+    ref_inliers: jnp.ndarray  # () int32
+    kfs_since_cull: jnp.ndarray  # () int32
+    last_kf: jnp.ndarray  # () int32
+    kf_preint: pre.PreintState  # running preintegration since last keyframe
+    gravity_w: jnp.ndarray  # (3,)
+    imu_ok: jnp.ndarray  # () bool
+
+    @staticmethod
+    def initial() -> "TrackState":
+        return TrackState(
+            q=quat.identity(),
+            p=jnp.zeros(3),
+            v=jnp.zeros(3),
+            bg=jnp.zeros(3),
+            ba=jnp.zeros(3),
+            motion_dq=quat.identity(),
+            motion_dp=jnp.zeros(3),
+            mode=jnp.int32(MODE_NOT_INIT),
+            lost_since=jnp.float32(-1.0),
+            last_t=jnp.float32(0.0),
+            frames_since_kf=jnp.int32(0),
+            ref_inliers=jnp.int32(1),
+            kfs_since_cull=jnp.int32(0),
+            last_kf=jnp.int32(0),
+            kf_preint=pre.PreintState.identity(),
+            gravity_w=jnp.asarray([0.0, 0.0, -9.81]),
+            imu_ok=jnp.asarray(False),
+        )
+
+
+class FrameOut(NamedTuple):
+    q: jnp.ndarray
+    p: jnp.ndarray
+    v: jnp.ndarray
+    n_matches: jnp.ndarray
+    n_inliers: jnp.ndarray
+    mode: jnp.ndarray
+    is_kf: jnp.ndarray
+    kf_id: jnp.ndarray
+    n_kf: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0, 1))
+def slam_step(st: sm.MapState, ts: TrackState, left_u8, right_u8,
+              gyro, acc, dts, imu_mask, t, cam: Camera, cfg):
+    """One full SLAM iteration. cfg is a SlamConfig (static)."""
+    left = left_u8.astype(jnp.float32)
+    right = right_u8.astype(jnp.float32)
+
+    # ---------------- front-end
+    featL = detect_orb(left, cfg.orb)
+    featR = detect_orb(right, cfg.orb)
+    u_r, depth, has_depth = match_stereo(featL, featR, cam, cfg.stereo)
+    points_cam = cam.unproject(featL.uv, jnp.where(has_depth, depth, 1.0))
+    N = featL.uv.shape[0]
+
+    # ---------------- IMU
+    have_imu = jnp.sum(imu_mask.astype(jnp.int32)) > 0
+    preint_frame = pre.integrate(gyro, acc, dts, imu_mask, ts.bg, ts.ba)
+    kf_preint = jax.tree.map(
+        lambda a, b: jnp.where(have_imu, a, b),
+        pre.merge(ts.kf_preint, preint_frame),
+        ts.kf_preint,
+    )
+    ts = ts._replace(kf_preint=kf_preint)
+
+    dt_frame = jnp.maximum(t - ts.last_t, 0.0)
+
+    # ---------------- predict
+    q_imu, v_imu, p_imu = pre.propagate(
+        preint_frame, ts.q, ts.v, ts.p, ts.bg, ts.ba, gravity=ts.gravity_w
+    )
+    q_mm = quat.normalize(quat.mul(ts.q, ts.motion_dq))
+    p_mm = ts.p + quat.rotate(ts.q, ts.motion_dp)
+    use_imu_pred = ts.imu_ok & have_imu
+    q_pred = jnp.where(use_imu_pred, q_imu, q_mm)
+    p_pred = jnp.where(use_imu_pred, p_imu, p_mm)
+    v_pred = jnp.where(use_imu_pred, v_imu, ts.v)
+
+    # ---------------- match + solve
+    matched, mp_w, vis_ids, vis_ok = match_local_map(
+        st, cam, featL.uv, featL.desc, featL.octave, featL.valid,
+        q_pred, p_pred, cfg.track,
+    )
+    n_matches = jnp.sum((matched >= 0).astype(jnp.int32))
+    valid = matched >= 0
+    enough = n_matches >= cfg.min_track_inliers
+
+    def solve_vi(_):
+        kf = ts.last_kf
+        q_n, p_n, v_n, _bg, _ba, inl, n_inl = pose_inertial_optimize(
+            q_pred, p_pred, v_pred, ts.bg, ts.ba, cam,
+            mp_w, featL.uv, jnp.where(valid, u_r, -1.0),
+            featL.octave, valid.astype(jnp.float32),
+            ts.kf_preint, st.kf_q[kf], st.kf_p[kf], st.kf_v[kf],
+            st.kf_bg[kf], st.kf_ba[kf], gravity=ts.gravity_w,
+        )
+        return q_n, p_n, v_n, inl, n_inl
+
+    def solve_vis(_):
+        res = pose_optimize(
+            q_pred, p_pred, cam, mp_w, featL.uv,
+            jnp.where(valid, u_r, -1.0), featL.octave, valid,
+        )
+        v_n = jnp.where(
+            dt_frame > 1e-6, (res.p - ts.p) / jnp.maximum(dt_frame, 1e-6), ts.v
+        )
+        return res.q, res.p, v_n, res.inliers, res.n_inliers
+
+    q_new, p_new, v_new, inliers, n_inl = jax.lax.cond(
+        ts.imu_ok & have_imu, solve_vi, solve_vis, operand=None
+    )
+
+    tracked_ok = enough & (n_inl >= cfg.min_track_inliers)
+    # when tracking fails, dead-reckon on the prediction
+    q_new = jnp.where(tracked_ok, q_new, q_pred)
+    p_new = jnp.where(tracked_ok, p_new, p_pred)
+    v_new = jnp.where(tracked_ok, v_new, v_pred)
+
+    initialized = ts.mode != MODE_NOT_INIT
+    # NotInit keeps the previous pose (world anchored at first keyframe)
+    q_new = jnp.where(initialized, q_new, ts.q)
+    p_new = jnp.where(initialized, p_new, ts.p)
+    v_new = jnp.where(initialized, v_new, ts.v)
+
+    # ---------------- state machine
+    now_lost = initialized & ~tracked_ok
+    lost_since = jnp.where(
+        now_lost, jnp.where(ts.lost_since < 0, t, ts.lost_since), -1.0
+    )
+    lost_timeout = now_lost & (lost_since >= 0) & (t - lost_since > cfg.lost_timeout)
+    mode = jnp.where(
+        initialized, jnp.where(tracked_ok, MODE_OK, MODE_RECENTLY_LOST), MODE_NOT_INIT
+    ).astype(jnp.int32)
+
+    # ---------------- atlas: lost beyond timeout -> reset or new map
+    def do_lost(op):
+        st_, = op
+        n_active = sm.count_map_keyframes(st_, st_.active_map)
+        st_small = sm.reset_active_map(st_)
+        st_big = sm.create_new_map(st_)
+        st_ = jax.tree.map(
+            lambda a, b: jnp.where(n_active < cfg.min_kfs_keep_map, a, b),
+            st_small, st_big,
+        )
+        return st_
+
+    st = jax.lax.cond(lost_timeout, do_lost, lambda op: op[0], (st,))
+    mode = jnp.where(lost_timeout, MODE_NOT_INIT, mode)
+
+    # ---------------- keyframe decision
+    n_stereo = jnp.sum(has_depth.astype(jnp.int32))
+    want_init = (mode == MODE_NOT_INIT) & (n_stereo >= 50)
+    frames_since = ts.frames_since_kf + 1
+    policy_kf = (mode == MODE_OK) & (
+        (frames_since >= cfg.kf_max_frames)
+        | (
+            (n_inl < cfg.kf_inlier_ratio * ts.ref_inliers.astype(jnp.float32))
+            & (n_inl > cfg.kf_min_inliers)
+        )
+    )
+    is_kf = want_init | policy_kf
+
+    matched_for_insert = jnp.where(want_init, -1, matched)
+
+    def do_insert(op):
+        st_, ts_ = op
+        st_, kf_id = sm.insert_keyframe(
+            st_, t, q_new, p_new, v_new, ts_.bg, ts_.ba,
+            featL.uv, u_r, depth, featL.octave, featL.desc, points_cam,
+            featL.valid, matched_for_insert, ts_.kf_preint,
+            jnp.where(want_init, -1, ts_.last_kf),
+            new_mp_budget=cfg.new_mp_budget,
+        )
+
+        # local BA (skipped for the first few keyframes of a map);
+        # visual-inertial temporal-window BA once the IMU is initialized
+        # (reference: local_mapper.rs:334 chooses inertial vs visual BA)
+        def do_vis_ba(stt):
+            prob, ids, valid_w, pt_ids, pt_valid = build_ba_problem(
+                stt, kf_id, cfg.ba_window, cfg.ba_points
+            )
+            res = solve_local_ba(prob, cam, iters=cfg.ba_iters)
+            kf_q, kf_p, mp_pos = apply_ba_results(
+                stt, ids, valid_w & prob.opt_cam, res.q, res.p, pt_ids, pt_valid, res.Xw
+            )
+            return stt._replace(kf_q=kf_q, kf_p=kf_p, mp_pos=mp_pos)
+
+        def do_vi_ba(stt):
+            prob, ids, valid_w, pt_ids, pt_valid = build_vi_ba_problem(
+                stt, kf_id, cfg.ba_window, cfg.ba_points, ts_.gravity_w
+            )
+            res = solve_vi_ba(prob, cam, iters=cfg.ba_iters)
+            kf_q, kf_p, kf_v, kf_bg, kf_ba, mp_pos = apply_vi_ba_results(
+                stt, ids, valid_w & prob.opt_cam, res.q, res.p, res.v,
+                res.bg, res.ba, pt_ids, pt_valid, res.Xw,
+            )
+            return stt._replace(
+                kf_q=kf_q, kf_p=kf_p, kf_v=kf_v, kf_bg=kf_bg, kf_ba=kf_ba,
+                mp_pos=mp_pos,
+            )
+
+        def do_ba(stt):
+            return jax.lax.cond(ts_.imu_ok, do_vi_ba, do_vis_ba, stt)
+
+        n_in_map = sm.count_map_keyframes(st_, st_.active_map)
+        st_ = jax.lax.cond(n_in_map >= 3, do_ba, lambda s: s, st_)
+
+        # cull every cull_every_kfs keyframes
+        cull_due = ts_.kfs_since_cull + 1 >= cfg.cull_every_kfs
+        st_ = jax.lax.cond(cull_due, lambda s: sm.cull_map_points(s), lambda s: s, st_)
+
+        ts_ = ts_._replace(
+            last_kf=kf_id,
+            frames_since_kf=jnp.int32(0),
+            ref_inliers=jnp.maximum(jnp.where(want_init, n_stereo, n_matches), 1),
+            kfs_since_cull=jnp.where(cull_due, 0, ts_.kfs_since_cull + 1).astype(jnp.int32),
+            kf_preint=pre.PreintState.identity(ts_.bg, ts_.ba),
+            # adopt the refined keyframe pose
+            q=st_.kf_q[kf_id],
+            p=st_.kf_p[kf_id],
+        )
+        return st_, ts_, kf_id
+
+    def no_insert(op):
+        st_, ts_ = op
+        return st_, ts_._replace(frames_since_kf=frames_since), jnp.int32(-1)
+
+    # counters for culling
+    vis, fnd = update_point_counters(
+        st.mp_visible, st.mp_found, vis_ids, vis_ok, matched, inliers
+    )
+    st = st._replace(mp_visible=vis, mp_found=fnd)
+
+    ts = ts._replace(
+        motion_dq=jnp.where(
+            tracked_ok, quat.normalize(quat.mul(quat.conj(ts.q), q_new)), ts.motion_dq
+        ),
+        motion_dp=jnp.where(
+            tracked_ok, quat.rotate(quat.conj(ts.q), p_new - ts.p), ts.motion_dp
+        ),
+        q=q_new,
+        p=p_new,
+        v=v_new,
+        mode=jnp.where(want_init, MODE_OK, mode).astype(jnp.int32),
+        lost_since=lost_since,
+        last_t=t,
+    )
+    st, ts, kf_id = jax.lax.cond(is_kf, do_insert, no_insert, (st, ts))
+
+    out = FrameOut(
+        q=ts.q, p=ts.p, v=ts.v,
+        n_matches=n_matches, n_inliers=n_inl,
+        mode=ts.mode, is_kf=is_kf, kf_id=kf_id, n_kf=st.n_kf,
+    )
+    return st, ts, out
+
+
+def _materialize(tree):
+    """Fresh, unshared device buffers for every leaf (donation-safe: XLA
+    constant-dedupes literals like repeated zeros, and donating the same
+    buffer twice is an error)."""
+    import numpy as np
+
+    return jax.tree.map(lambda a: jnp.asarray(np.array(a)), tree)
+
+
+class FusedSlam:
+    """Host wrapper around slam_step: streams frames, reads lazily.
+
+    Drop-in replacement for models.slam.SlamSystem with ~1 dispatch/frame.
+    Host-side services (IMU initialization, loop closing) run every
+    `service_every` frames on the lazily-fetched outputs.
+    """
+
+    def __init__(self, cam: Camera, cfg, vocabulary=None, service_every: int = 8):
+        from orbslam3_tpu.map.slam_map import empty_map
+
+        self.cam = cam
+        self.cfg = cfg
+        self.map = _materialize(empty_map(cfg.cap))
+        self.ts = _materialize(TrackState.initial())
+        self.outs: list = []  # (t, FrameOut) — device handles, no sync
+        self.service_every = service_every
+        self._frames = 0
+        self._imu_buffer_edges = []
+        self.imu_initialized = False
+        self.loop_closer = None
+        if vocabulary is not None:
+            from orbslam3_tpu.loop.closer import LoopCloser
+
+            self.loop_closer = LoopCloser(vocabulary)
+        self._n_kf_seen = 0
+
+    def _pad_imu(self, gyro, acc, dts):
+        import numpy as np
+
+        n = self.cfg.max_imu_per_frame
+        k = min(len(dts), n)
+        g = np.zeros((n, 3), np.float32)
+        a = np.zeros((n, 3), np.float32)
+        d = np.zeros((n,), np.float32)
+        m = np.zeros((n,), bool)
+        if k:
+            g[:k], a[:k], d[:k], m[:k] = gyro[:k], acc[:k], dts[:k], True
+        return g, a, d, m
+
+    def process_frame(self, left, right, gyro, acc, dts, t: float):
+        import numpy as np
+
+        g, a, d, m = self._pad_imu(gyro, acc, dts)
+        self.map, self.ts, out = slam_step(
+            self.map, self.ts,
+            jnp.asarray(np.asarray(left, np.uint8) if left.dtype != np.uint8 else left),
+            jnp.asarray(np.asarray(right, np.uint8) if right.dtype != np.uint8 else right),
+            jnp.asarray(g), jnp.asarray(a), jnp.asarray(d), jnp.asarray(m),
+            jnp.float32(t), self.cam, self.cfg,
+        )
+        self.outs.append((t, out))
+        self._frames += 1
+        if self._frames % self.service_every == 0:
+            self._host_services()
+        return out
+
+    # ------------------------------------------------------------------
+    def _host_services(self):
+        """Rare host-side work on lazily-synced state."""
+        import numpy as np
+
+        cfg = self.cfg
+        if cfg.use_imu and not self.imu_initialized:
+            n_kf = int(self.map.n_kf)
+            if n_kf >= cfg.imu_init_kfs:
+                self._try_imu_init(n_kf)
+        if self.loop_closer is not None:
+            n_kf = int(self.map.n_kf)
+            while self._n_kf_seen < n_kf:
+                self.map, corrected = self.loop_closer.on_keyframe(
+                    self.map, self._n_kf_seen, self.cam
+                )
+                self._n_kf_seen += 1
+
+    def _try_imu_init(self, n_kf):
+        import numpy as np
+
+        from orbslam3_tpu.optim.imu_init import inertial_init
+
+        cfg = self.cfg
+        active = int(self.map.active_map)
+        kf_valid = np.asarray(self.map.kf_valid[:n_kf])
+        kf_map = np.asarray(self.map.kf_map_id[:n_kf])
+        in_map = [k for k in range(n_kf) if kf_valid[k] and kf_map[k] == active]
+        if len(in_map) < cfg.imu_init_kfs:
+            return
+        ids = in_map[-16:]
+        W = len(ids)
+        span = float(self.map.kf_time[ids[-1]] - self.map.kf_time[ids[0]])
+        if span < cfg.imu_init_min_time:
+            return
+        idx = jnp.asarray(ids)
+        qs = self.map.kf_q[idx]
+        ps = self.map.kf_p[idx]
+        edge_ids = jnp.asarray(ids[1:])
+        preints = jax.tree.map(lambda a_: a_[edge_ids], self.map.kf_preint)
+        edge_valid = preints.dt > 1e-4
+        if int(jnp.sum(edge_valid)) < W - 2:
+            return
+        res = inertial_init(qs, ps, preints, edge_valid)
+        g_norm = float(jnp.linalg.norm(res.gravity_w))
+        if not (8.5 < g_norm < 11.0) or not float(res.cost1) < float(res.cost0):
+            return
+        kf_v = self.map.kf_v.at[idx].set(res.vels)
+        kf_bg = self.map.kf_bg.at[idx].set(jnp.tile(res.bias_g, (W, 1)))
+        kf_ba = self.map.kf_ba.at[idx].set(jnp.tile(res.bias_a, (W, 1)))
+        self.map = self.map._replace(kf_v=kf_v, kf_bg=kf_bg, kf_ba=kf_ba)
+        self.ts = self.ts._replace(
+            gravity_w=res.gravity_w,
+            bg=res.bias_g,
+            ba=res.bias_a,
+            v=res.vels[-1],
+            imu_ok=jnp.asarray(True),
+        )
+        self.imu_initialized = True
+
+    # ------------------------------------------------------------------
+    def trajectory_arrays(self):
+        import numpy as np
+
+        ts_ = np.array([t for t, _ in self.outs])
+        ps = np.stack([np.asarray(o.p) for _, o in self.outs])
+        qs = np.stack([np.asarray(o.q) for _, o in self.outs])
+        return ts_, ps, qs
+
+    def modes(self):
+        import numpy as np
+
+        return np.array([int(o.mode) for _, o in self.outs])

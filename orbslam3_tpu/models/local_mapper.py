@@ -81,3 +81,89 @@ def local_ba_step(st: MapState, cam: Camera, kf_id, window: int = 8,
         st, ids, valid & prob.opt_cam, res.q, res.p, pt_ids, pt_valid, res.Xw
     )
     return st._replace(kf_q=kf_q, kf_p=kf_p, mp_pos=mp_pos), res
+
+
+@partial(jax.jit, static_argnames=("window", "max_points"))
+def build_vi_ba_problem(st: MapState, kf_id, window: int, max_points: int, gravity_w):
+    """Gather the temporal-window VI-BA problem ending at kf_id.
+
+    Window = walk the kf_prev chain (reference: local_inertial_ba.rs:109-139
+    uses 10 temporal keyframes with the oldest as fixed anchor).
+    """
+    from orbslam3_tpu.optim.vi_ba import VIBAProblem
+
+    K = st.kf_valid.shape[0]
+
+    def walk(carry, _):
+        cur = carry
+        nxt = jnp.where(cur >= 0, st.kf_prev[jnp.clip(cur, 0, K - 1)], -1)
+        return nxt, cur
+
+    _, ids_new_first = jax.lax.scan(walk, kf_id, None, length=window)
+    ids = ids_new_first[::-1]  # oldest..newest
+    valid = ids >= 0
+    ids_safe = jnp.where(valid, ids, 0)
+
+    pt_ids, pt_valid = mp_slots_for_kfs(st, ids_safe, valid, max_points)
+    M = st.mp_pos.shape[0]
+    P = max_points
+    inv = jnp.full((M,), -1, jnp.int32)
+    inv = inv.at[jnp.where(pt_valid, pt_ids, 0)].set(
+        jnp.where(pt_valid, jnp.arange(P, dtype=jnp.int32), -1)
+    )
+    refs = st.kf_mp[ids_safe]
+    obs_pt = jnp.where(refs >= 0, inv[jnp.clip(refs, 0, M - 1)], -1)
+
+    # oldest valid is the anchor
+    first_valid = jnp.argmax(valid)  # first True in oldest..newest order
+    opt_cam = valid & (jnp.arange(window) != first_valid)
+
+    # IMU edge for slot i connects ids[i-1] -> ids[i]; stored preint on
+    # ids[i] is exactly that when the chain is unbroken
+    chain_ok = jnp.concatenate(
+        [jnp.zeros(1, bool), st.kf_prev[ids_safe[1:]] == ids[:-1]]
+    )
+    preints = jax.tree.map(lambda a: a[ids_safe], st.kf_preint)
+    imu_edge_valid = valid & chain_ok & (preints.dt > 1e-4)
+
+    prob = VIBAProblem(
+        q=st.kf_q[ids_safe],
+        p=st.kf_p[ids_safe],
+        v=st.kf_v[ids_safe],
+        bg=st.kf_bg[ids_safe],
+        ba=st.kf_ba[ids_safe],
+        opt_cam=opt_cam,
+        cam_valid=valid,
+        Xw=st.mp_pos[pt_ids],
+        pt_valid=pt_valid,
+        obs_uv=st.kf_uv[ids_safe],
+        obs_ur=st.kf_ur[ids_safe],
+        obs_oct=st.kf_octave[ids_safe],
+        obs_pt=obs_pt,
+        preint=preints,
+        imu_edge_valid=imu_edge_valid,
+        gravity_w=gravity_w,
+    )
+    return prob, ids, valid, pt_ids, pt_valid
+
+
+@jax.jit
+def apply_vi_ba_results(st: MapState, ids, kf_valid, q, p, v, bg, ba,
+                        pt_ids, pt_valid, Xw):
+    ids_safe = jnp.where(kf_valid, ids, 0)
+
+    def scat(arr, vals):
+        return arr.at[ids_safe].set(
+            jnp.where(kf_valid[:, None], vals, arr[ids_safe])
+        )
+
+    kf_q = scat(st.kf_q, q)
+    kf_p = scat(st.kf_p, p)
+    kf_v = scat(st.kf_v, v)
+    kf_bg = scat(st.kf_bg, bg)
+    kf_ba = scat(st.kf_ba, ba)
+    pt_safe = jnp.where(pt_valid, pt_ids, 0)
+    mp_pos = st.mp_pos.at[pt_safe].set(
+        jnp.where(pt_valid[:, None], Xw, st.mp_pos[pt_safe])
+    )
+    return kf_q, kf_p, kf_v, kf_bg, kf_ba, mp_pos

@@ -60,8 +60,20 @@ def gather_patches(img, ys, xs, size: int):
 def orientations(img, ys, xs):
     """Intensity-centroid angle per keypoint: atan2(m01, m10). (N,) radians."""
     patches = gather_patches(img, ys, xs, 2 * ORI_RADIUS + 1)  # (N, 31, 31)
-    m10 = jnp.sum(patches * ORI_X[None], axis=(1, 2))
-    m01 = jnp.sum(patches * ORI_Y[None], axis=(1, 2))
+    return orientations_from_patches(patches)
+
+
+def orientations_from_patches(patches):
+    """Intensity-centroid angles from pre-gathered square patches.
+
+    Accepts (N, S, S) with S >= 31; uses the central 31x31 window, so one
+    GATHER-sized patch can serve both orientation and descriptor stages.
+    """
+    S = patches.shape[-1]
+    off = (S - (2 * ORI_RADIUS + 1)) // 2
+    win = patches[:, off : off + 2 * ORI_RADIUS + 1, off : off + 2 * ORI_RADIUS + 1]
+    m10 = jnp.sum(win * ORI_X[None], axis=(1, 2))
+    m01 = jnp.sum(win * ORI_Y[None], axis=(1, 2))
     return jnp.arctan2(m01, m10)
 
 
@@ -91,21 +103,30 @@ def descriptors(img, ys, xs, angles):
     img should be pre-blurred (sigma~2) for noise robustness, like OpenCV.
     """
     patches = gather_patches(img, ys, xs, GATHER)  # (N, G, G)
+    return descriptors_from_patches(patches, angles)
+
+
+def descriptors_from_patches(patches, angles):
+    """Steered-BRIEF from pre-gathered (N, G, G) patches.
+
+    Rotated pattern points are sampled nearest-neighbor (what OpenCV ORB's
+    integer lookup does) through ONE flat take_along_axis gather per frame —
+    the single hottest access pattern in the front-end, kept TPU-friendly.
+    """
+    N = patches.shape[0]
     ca = jnp.cos(angles)
     sa = jnp.sin(angles)
 
-    # rotate pattern: (256, 2, 2) @ per-kp rotation
     px = BRIEF_PATTERN[..., 0]  # (256, 2)
     py = BRIEF_PATTERN[..., 1]
-    # (N, 256, 2)
-    rx = ca[:, None, None] * px[None] - sa[:, None, None] * py[None]
+    rx = ca[:, None, None] * px[None] - sa[:, None, None] * py[None]  # (N, 256, 2)
     ry = sa[:, None, None] * px[None] + ca[:, None, None] * py[None]
 
-    def sample_kp(patch, rx_k, ry_k):
-        vals = jax.vmap(jax.vmap(lambda y, x: _bilinear(patch, y, x)))(ry_k, rx_k)
-        return vals  # (256, 2)
-
-    vals = jax.vmap(sample_kp)(patches, rx, ry)  # (N, 256, 2)
+    ix = jnp.clip(jnp.round(rx).astype(jnp.int32) + GHALF, 0, GATHER - 1)
+    iy = jnp.clip(jnp.round(ry).astype(jnp.int32) + GHALF, 0, GATHER - 1)
+    flat_idx = (iy * GATHER + ix).reshape(N, 512)
+    flat = patches.reshape(N, GATHER * GATHER)
+    vals = jnp.take_along_axis(flat, flat_idx, axis=1).reshape(N, 256, 2)
     bits = (vals[..., 0] < vals[..., 1]).astype(jnp.uint8)  # (N, 256)
     return pack_bits(bits)
 

@@ -63,22 +63,24 @@ def make_point_table(st, max_points: int, max_obs: int) -> GlobalBAPoints:
     obs_uv = np.zeros((P_, O, 2), np.float32)
     obs_ur = np.full((P_, O), -1.0, np.float32)
     obs_oct = np.zeros((P_, O), np.int32)
-    counts = np.zeros(P_, np.int32)
 
-    for k in range(K):
-        if not kf_valid[k]:
-            continue
-        feats = np.nonzero(kf_mp[k] >= 0)[0]
-        slots = slot_of[kf_mp[k, feats]]
-        ok = slots >= 0
-        for f, s in zip(feats[ok], slots[ok]):
-            c = counts[s]
-            if c < O:
-                obs_kf[s, c] = k
-                obs_uv[s, c] = uv[k, f]
-                obs_ur[s, c] = ur[k, f]
-                obs_oct[s, c] = oct_[k, f]
-                counts[s] += 1
+    # vectorized regroup: flatten all (kf, feat) observations, sort by point
+    # slot, compute within-group rank, scatter the first O of each group
+    kf_idx, feat_idx = np.nonzero((kf_mp >= 0) & kf_valid[:, None])
+    slots = slot_of[kf_mp[kf_idx, feat_idx]]
+    keep = slots >= 0
+    kf_idx, feat_idx, slots = kf_idx[keep], feat_idx[keep], slots[keep]
+    order = np.argsort(slots, kind="stable")
+    kf_idx, feat_idx, slots = kf_idx[order], feat_idx[order], slots[order]
+    first = np.searchsorted(slots, slots)  # index of each group start
+    rank = np.arange(len(slots)) - first
+    ok = rank < O
+    obs_kf[slots[ok], rank[ok]] = kf_idx[ok]
+    obs_uv[slots[ok], rank[ok]] = uv[kf_idx[ok], feat_idx[ok]]
+    obs_ur[slots[ok], rank[ok]] = ur[kf_idx[ok], feat_idx[ok]]
+    obs_oct[slots[ok], rank[ok]] = oct_[kf_idx[ok], feat_idx[ok]]
+    counts = np.zeros(P_, np.int32)
+    np.add.at(counts, slots[ok], 1)
 
     Xw = np.zeros((P_, 3), np.float32)
     Xw[: len(ids)] = np.asarray(st.mp_pos)[ids]

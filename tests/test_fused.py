@@ -1,0 +1,49 @@
+"""Fused on-device SLAM step: end-to-end parity with the host-orchestrated
+system on the synthetic world (CPU), single dispatch per frame."""
+import numpy as np
+import pytest
+
+from orbslam3_tpu.eval.metrics import ate_rmse
+from orbslam3_tpu.frontend.orb import OrbConfig
+from orbslam3_tpu.io.synthetic import SyntheticConfig, SyntheticWorld
+from orbslam3_tpu.map.slam_map import MapCapacity
+from orbslam3_tpu.models.fused import MODE_OK, FusedSlam
+from orbslam3_tpu.models.slam import SlamConfig
+from orbslam3_tpu.models.tracker import TrackConfig
+
+
+@pytest.mark.slow
+def test_fused_stereo_inertial():
+    cfg = SyntheticConfig(
+        width=384, height=256, fx=240.0, fy=240.0, n_landmarks=600,
+        duration=4.0, cam_hz=10.0, pos_amp=(1.2, 0.8, 0.3),
+        gyro_bias=(0.003, -0.002, 0.004),
+    )
+    world = SyntheticWorld(cfg)
+    slam_cfg = SlamConfig(
+        orb=OrbConfig(n_features=384, n_levels=4),
+        cap=MapCapacity(max_kf=64, n_feat=384, max_mp=8192, max_obs=8),
+        track=TrackConfig(p_local=2048),
+        ba_points=1024,
+        use_imu=True,
+        kf_max_frames=2,
+        imu_init_kfs=8,
+    )
+    slam = FusedSlam(world.cam, slam_cfg, service_every=4)
+
+    times = world.frame_times()
+    for i, t in enumerate(times):
+        left, right = world.render_frame(t)
+        t_prev = times[i - 1] if i > 0 else t
+        g, a, d = world.imu_window(t_prev, t)
+        slam.process_frame(left, right, g, a, d, float(t))
+
+    modes = slam.modes()
+    ok_frac = (modes == MODE_OK).mean()
+    assert ok_frac > 0.9, f"Ok fraction {ok_frac}, modes {modes[:20]}"
+    assert slam.imu_initialized
+
+    ts, ps, qs = slam.trajectory_arrays()
+    gt_p, _ = world.gt_trajectory()
+    ate = ate_rmse(ps, gt_p[: len(ps)])
+    assert ate < 0.06, f"ATE {ate:.3f} m"
