@@ -1,0 +1,182 @@
+"""Local-mapping map maintenance: duplicate fusion + keyframe culling.
+
+Capability parity with:
+  * /root/reference/src/local_mapping/search_in_neighbors.rs — two-way
+    projection fusion between a keyframe and its covisible neighbors.
+    Array formulation: project the keyframe's map points into each
+    neighbor, dense (N x N) pixel+Hamming gating, then (a) duplicate pairs
+    resolve by keeping the more-observed point, (b) unmatched neighbor
+    features gain an observation of the surviving point.
+  * /root/reference/src/local_mapping/local_mapper.rs:487-649 — redundancy
+    keyframe culling with IMU preintegration merge into the successor
+    (remove_keyframe_with_imu_merge; our pre.merge is the exact first-order
+    composition rather than the reference's acknowledged approximation).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from orbslam3_tpu.frontend.camera import Camera
+from orbslam3_tpu.geometry import quat
+from orbslam3_tpu.imu import preintegration as pre
+from orbslam3_tpu.map.slam_map import (
+    MapState,
+    _remove_map_points,
+    associate_batch,
+    local_window,
+)
+from orbslam3_tpu.ops.hamming import hamming_matrix
+
+
+@partial(jax.jit, static_argnames=("window",))
+def fuse_map_points(st: MapState, kf_id, cam: Camera, window: int = 6,
+                    radius: float = 4.0, max_hamming: int = 50):
+    """Fuse duplicate map points between kf_id and its covisible neighbors.
+
+    Returns the updated MapState. One (N x N) masked Hamming+radius match
+    per neighbor; W-1 neighbors, all under one jit.
+    """
+    M = st.mp_pos.shape[0]
+    K, N = st.kf_mp.shape
+    ids, valid_w = local_window(st, kf_id, window)
+
+    cur_mp = st.kf_mp[kf_id]  # (N,)
+    cur_ok = (cur_mp >= 0) & st.kf_feat_valid[kf_id]
+    cur_mp_safe = jnp.clip(cur_mp, 0, M - 1)
+    X = st.mp_pos[cur_mp_safe]  # (N, 3)
+    desc_mp = st.mp_desc[cur_mp_safe]
+    obs_n = st.mp_obs_n
+
+    kills = jnp.zeros((M,), bool)
+    # per-neighbor association requests, applied after removals
+    assoc_kf = []
+    assoc_feat = []
+    assoc_mp = []
+    assoc_ok = []
+
+    for w in range(1, window):
+        n_id = ids[w]
+        n_ok = valid_w[w]
+        qn, pn = st.kf_q[n_id], st.kf_p[n_id]
+        xc = quat.rotate(quat.conj(qn)[None], X - pn[None])
+        z = xc[:, 2]
+        proj = cam.project(xc)
+        in_view = (z > 0.2) & cam.in_view(proj, 5.0)
+
+        duv = jnp.linalg.norm(proj[:, None] - st.kf_uv[n_id][None], axis=-1)  # (N, N)
+        dd = hamming_matrix(desc_mp, st.kf_desc[n_id]).astype(jnp.float32)
+        rad = radius * 1.2 ** st.kf_octave[n_id].astype(jnp.float32)  # (N,)
+        ok = (
+            cur_ok[:, None]
+            & in_view[:, None]
+            & st.kf_feat_valid[n_id][None, :]
+            & (duv <= rad[None, :])
+            & (dd <= max_hamming)
+            & n_ok
+        )
+        BIG = 1e6
+        cost = jnp.where(ok, dd, BIG)
+        j_best = jnp.argmin(cost, axis=1)  # neighbor feature per cur point
+        c_best = jnp.min(cost, axis=1)
+        matched = c_best < BIG
+
+        nb_mp = st.kf_mp[n_id][j_best]  # (N,) neighbor's mp at that feature
+        dup = matched & (nb_mp >= 0) & (nb_mp != cur_mp)
+        nb_safe = jnp.clip(nb_mp, 0, M - 1)
+        # keep the more-observed point
+        keep_cur = obs_n[cur_mp_safe] >= obs_n[nb_safe]
+        kill_id = jnp.where(keep_cur, nb_safe, cur_mp_safe)
+        keep_id = jnp.where(keep_cur, cur_mp_safe, nb_safe)
+        kills = kills.at[jnp.where(dup, kill_id, 0)].max(dup)
+
+        # free neighbor feature -> associate surviving/current point
+        want_assoc = matched & ((nb_mp < 0) | dup)
+        assoc_kf.append(n_id)
+        assoc_feat.append(j_best)
+        assoc_mp.append(keep_id)
+        assoc_ok.append(want_assoc)
+
+    # never kill a point a pending association wants to keep
+    for mp_a, ok_a in zip(assoc_mp, assoc_ok):
+        protect = jnp.zeros((M,), bool).at[jnp.where(ok_a, mp_a, 0)].max(ok_a)
+        kills = kills & ~protect
+
+    st = _remove_map_points(st, kills & st.mp_valid)
+
+    for n_id, feat, mp_a, ok_a in zip(assoc_kf, assoc_feat, assoc_mp, assoc_ok):
+        # only features left unassigned after removal; target must be alive
+        free = st.kf_mp[n_id][feat] < 0
+        alive = st.mp_valid[mp_a]
+        # avoid double-assigning one feature slot within this batch: keep
+        # the first (lowest cur index) claim per feature via a scatter-max
+        claim = jnp.full((N,), jnp.int32(2**30))
+        order = jnp.arange(N, dtype=jnp.int32)
+        ok_all = ok_a & free & alive
+        claim = claim.at[jnp.where(ok_all, feat, 0)].min(jnp.where(ok_all, order, 2**30))
+        ok_first = ok_all & (claim[feat] == order)
+        st = associate_batch(st, n_id, feat, mp_a, ok_first)
+    return st
+
+
+@jax.jit
+def keyframe_redundancy(st: MapState, kf_id, min_other_obs: int = 3):
+    """Fraction of kf_id's map points seen by >= min_other_obs other KFs.
+    (reference cull rule: redundancy > 0.9 visual / > 0.5 inertial)"""
+    M = st.mp_pos.shape[0]
+    refs = st.kf_mp[kf_id]
+    ok = (refs >= 0) & st.mp_valid[jnp.clip(refs, 0, M - 1)]
+    obs = st.mp_obs_n[jnp.clip(refs, 0, M - 1)]
+    redundant = ok & (obs >= min_other_obs + 1)
+    return jnp.sum(redundant.astype(jnp.float32)) / jnp.maximum(
+        jnp.sum(ok.astype(jnp.float32)), 1.0
+    )
+
+
+@jax.jit
+def remove_keyframe(st: MapState, kf_id):
+    """Remove a redundant keyframe: clear its observations, merge its
+    successor's preintegration over the gap, repair the temporal chain.
+    (reference: remove_keyframe_with_imu_merge, local_mapper.rs:591)"""
+    K, N = st.kf_mp.shape
+    M = st.mp_pos.shape[0]
+
+    # clear this KF's entries from every obs list (holes are allowed)
+    hit = st.mp_obs_kf == kf_id  # (M, O)
+    mp_obs_kf = jnp.where(hit, -1, st.mp_obs_kf)
+    mp_obs_feat = jnp.where(hit, -1, st.mp_obs_feat)
+    mp_obs_n = jnp.maximum(st.mp_obs_n - jnp.sum(hit, axis=1).astype(jnp.int32), 0)
+
+    # successor = the keyframe whose kf_prev == kf_id (temporal chain)
+    succ_mask = (st.kf_prev == kf_id) & st.kf_valid
+    succ = jnp.argmax(succ_mask)
+    has_succ = jnp.any(succ_mask)
+    prev_of_k = st.kf_prev[kf_id]
+
+    # merged preintegration: (prev -> kf_id) ++ (kf_id -> succ)
+    pre_k = jax.tree.map(lambda a: a[kf_id], st.kf_preint)
+    pre_s = jax.tree.map(lambda a: a[succ], st.kf_preint)
+    merged = pre.merge(pre_k, pre_s)
+    kf_preint = jax.tree.map(
+        lambda arr, m, s_: arr.at[succ].set(jnp.where(has_succ, m, s_)),
+        st.kf_preint, merged, pre_s,
+    )
+    kf_prev = st.kf_prev.at[succ].set(
+        jnp.where(has_succ, prev_of_k, st.kf_prev[succ])
+    )
+
+    covis = st.covis.at[kf_id, :].set(0)
+    covis = covis.at[:, kf_id].set(0)
+
+    return st._replace(
+        kf_valid=st.kf_valid.at[kf_id].set(False),
+        kf_mp=st.kf_mp.at[kf_id].set(jnp.full((N,), -1, jnp.int32)),
+        mp_obs_kf=mp_obs_kf,
+        mp_obs_feat=mp_obs_feat,
+        mp_obs_n=mp_obs_n,
+        kf_preint=kf_preint,
+        kf_prev=kf_prev,
+        covis=covis,
+    )

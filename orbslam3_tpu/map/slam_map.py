@@ -180,9 +180,12 @@ def associate_batch(st: MapState, kf_id, feat_idx, mp_idx, valid):
         st.covis, kf_id, obs_kfs.reshape(-1), obs_valid.reshape(-1)
     )
 
-    # 3. append to obs lists (dropped silently if the O-cap is full)
-    slot = st.mp_obs_n[m_safe]
-    can = valid & (slot < O)
+    # 3. append to obs lists at the first free slot (lists may have holes
+    # after keyframe removal; dropped silently if the O-cap is full)
+    rows = st.mp_obs_kf[m_safe]  # (B, O)
+    has_hole = jnp.any(rows < 0, axis=1)
+    slot = jnp.argmax(rows < 0, axis=1).astype(jnp.int32)
+    can = valid & has_hole
     slot_safe = jnp.clip(slot, 0, O - 1)
     mp_obs_kf = st.mp_obs_kf.at[m_safe, slot_safe].set(
         jnp.where(can, kf_id, st.mp_obs_kf[m_safe, slot_safe])
@@ -425,3 +428,45 @@ def create_new_map(st: MapState):
 
 def count_map_keyframes(st: MapState, map_id):
     return jnp.sum((st.kf_valid & (st.kf_map_id == map_id)).astype(jnp.int32))
+
+
+def spawn_map_points(st: MapState, kf_id, feat_idx, Xw, valid):
+    """Allocate new map points at world positions Xw for features of kf_id.
+
+    feat_idx/Xw/valid are (B,) aligned; returns (MapState, new_ids (B,)).
+    Shared by stereo insertion and multi-view triangulation.
+    """
+    M = st.mp_pos.shape[0]
+    B = feat_idx.shape[0]
+    new_ids = st.n_mp + jnp.cumsum(valid.astype(jnp.int32)) - 1
+    valid = valid & (new_ids < M)
+    ids_safe = jnp.where(valid, new_ids, 0)
+    f_safe = jnp.where(valid, feat_idx, 0)
+
+    view = Xw - st.kf_p[kf_id][None]
+    dist = jnp.linalg.norm(view, axis=-1).clip(1e-6)
+    normal = view / dist[:, None]
+    octv = st.kf_octave[kf_id][f_safe]
+    level_scale = 1.2 ** octv.astype(jnp.float32)
+    max_d = dist * level_scale
+    min_d = max_d / (1.2**7)
+    desc = st.kf_desc[kf_id][f_safe]
+
+    def scat(arr, vals):
+        return arr.at[ids_safe].set(jnp.where(_bdims(valid, vals), vals, arr[ids_safe]))
+
+    st = st._replace(
+        mp_pos=scat(st.mp_pos, Xw),
+        mp_desc=scat(st.mp_desc, desc),
+        mp_normal=scat(st.mp_normal, normal),
+        mp_min_dist=scat(st.mp_min_dist, min_d),
+        mp_max_dist=scat(st.mp_max_dist, max_d),
+        mp_valid=scat(st.mp_valid, valid),
+        mp_map_id=scat(st.mp_map_id, jnp.full_like(ids_safe, 1) * st.active_map),
+        mp_first_kf=scat(st.mp_first_kf, jnp.full_like(ids_safe, 1) * kf_id),
+        mp_visible=scat(st.mp_visible, jnp.ones_like(ids_safe)),
+        mp_found=scat(st.mp_found, jnp.ones_like(ids_safe)),
+        n_mp=st.n_mp + jnp.sum(valid.astype(jnp.int32)),
+    )
+    st = associate_batch(st, kf_id, f_safe, ids_safe, valid)
+    return st, jnp.where(valid, ids_safe, -1)

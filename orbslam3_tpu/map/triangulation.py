@@ -1,0 +1,161 @@
+"""Multi-view triangulation of unmatched features (batched 2-view DLT).
+
+Capability parity with /root/reference/src/local_mapping/triangulation.rs
+(CreateNewMapPoints): match the new keyframe's unassigned features against
+its best covisible neighbor under an epipolar gate, triangulate by DLT
+(4x4 SVD — triangulation.rs:715-760), validate depth / reprojection chi2 /
+parallax (triangulation.rs:776-850), and spawn map points observed by both
+views. The reference's per-pair loops become one dense masked match + one
+vmapped SVD batch.
+
+Stereo features already get instant depth at insertion; this pass mainly
+recovers far-field mono features (disparity below the stereo threshold).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from orbslam3_tpu.frontend.camera import Camera
+from orbslam3_tpu.geometry import quat
+from orbslam3_tpu.map.slam_map import (
+    MapState,
+    associate_batch,
+    local_window,
+    spawn_map_points,
+)
+from orbslam3_tpu.ops.hamming import hamming_matrix
+
+
+def _projection_matrix(cam: Camera, q_wb, p_w):
+    """3x4 world->pixel projection for a body(=camera) pose."""
+    R = quat.to_matrix(quat.conj(q_wb))  # world -> cam rotation
+    t = -R @ p_w
+    K = jnp.asarray(
+        [[cam.fx, 0.0, cam.cx], [0.0, cam.fy, cam.cy], [0.0, 0.0, 1.0]]
+    )
+    return K @ jnp.concatenate([R, t[:, None]], axis=1)
+
+
+def _dlt(P1, P2, uv1, uv2):
+    """Two-view DLT: (4,) homogeneous point via SVD of the 4x4 system."""
+    A = jnp.stack(
+        [
+            uv1[0] * P1[2] - P1[0],
+            uv1[1] * P1[2] - P1[1],
+            uv2[0] * P2[2] - P2[0],
+            uv2[1] * P2[2] - P2[1],
+        ]
+    )
+    _, _, Vt = jnp.linalg.svd(A)
+    X = Vt[-1]
+    return X[:3] / jnp.where(jnp.abs(X[3]) > 1e-9, X[3], 1e-9)
+
+
+@partial(jax.jit, static_argnames=("max_new",))
+def triangulate_with_neighbor(
+    st: MapState,
+    kf_id,
+    cam: Camera,
+    max_new: int = 128,
+    max_hamming: int = 50,
+    epipolar_px: float = 2.0,
+    chi2_max: float = 5.991,
+    min_parallax_cos: float = 0.9998,
+):
+    """Triangulate new points between kf_id and its best covisible neighbor."""
+    M = st.mp_pos.shape[0]
+    K, N = st.kf_mp.shape
+    ids, valid_w = local_window(st, kf_id, 2)
+    n_id = ids[1]
+    pair_ok = valid_w[1]
+
+    q1, p1 = st.kf_q[kf_id], st.kf_p[kf_id]
+    q2, p2 = st.kf_q[n_id], st.kf_p[n_id]
+    baseline = jnp.linalg.norm(p2 - p1)
+
+    # candidates: features without a map point on both sides
+    free1 = st.kf_feat_valid[kf_id] & (st.kf_mp[kf_id] < 0)
+    free2 = st.kf_feat_valid[n_id] & (st.kf_mp[n_id] < 0)
+
+    dd = hamming_matrix(st.kf_desc[kf_id], st.kf_desc[n_id]).astype(jnp.float32)
+
+    # epipolar gate: distance of neighbor feature to the epipolar line of
+    # the current feature (fundamental from relative pose)
+    R1 = quat.to_matrix(quat.conj(q1))
+    R2 = quat.to_matrix(quat.conj(q2))
+    R12 = R2 @ R1.T  # cam1 -> cam2 rotation
+    t12 = R2 @ (p1 - p2)  # cam1 origin in cam2
+
+    def hat(v):
+        return jnp.asarray([[0, -v[2], v[1]], [v[2], 0, -v[0]], [-v[1], v[0], 0]])
+
+    Kmat = jnp.asarray([[cam.fx, 0.0, cam.cx], [0.0, cam.fy, cam.cy], [0.0, 0.0, 1.0]])
+    Kinv = jnp.linalg.inv(Kmat)
+    F = Kinv.T @ hat(t12) @ R12 @ Kinv  # x2^T F x1 = 0
+
+    ones1 = jnp.ones((N, 1))
+    x1h = jnp.concatenate([st.kf_uv[kf_id], ones1], axis=1)  # (N, 3)
+    x2h = jnp.concatenate([st.kf_uv[n_id], ones1], axis=1)
+    lines = x1h @ F.T  # (N, 3) epipolar lines in image 2
+    num = jnp.abs(x2h @ lines.T).T  # (N1, N2): |x2 . l1|
+    denom = jnp.sqrt(lines[:, 0] ** 2 + lines[:, 1] ** 2).clip(1e-6)
+    epi_dist = num / denom[:, None]  # (N1, N2)
+
+    ok = (
+        free1[:, None]
+        & free2[None, :]
+        & (dd <= max_hamming)
+        & (epi_dist <= epipolar_px * 1.2 ** st.kf_octave[n_id].astype(jnp.float32)[None, :])
+        & pair_ok
+        & (baseline > 0.05)
+    )
+    BIG = 1e6
+    cost = jnp.where(ok, dd, BIG)
+    j_best = jnp.argmin(cost, axis=1)
+    c_best = jnp.min(cost, axis=1)
+    i_best = jnp.argmin(cost, axis=0)
+    mutual = i_best[j_best] == jnp.arange(N)
+    matched = (c_best < BIG) & mutual
+
+    # triangulate the top max_new matches (best descriptor distance first)
+    prio = jnp.where(matched, -c_best, -jnp.inf)
+    _, sel = jax.lax.top_k(prio, max_new)
+    sel_ok = matched[sel]
+    uv1 = st.kf_uv[kf_id][sel]
+    uv2 = st.kf_uv[n_id][j_best[sel]]
+
+    P1 = _projection_matrix(cam, q1, p1)
+    P2 = _projection_matrix(cam, q2, p2)
+    X = jax.vmap(lambda a, b: _dlt(P1, P2, a, b))(uv1, uv2)  # (B, 3)
+
+    # validation
+    xc1 = quat.rotate(quat.conj(q1)[None], X - p1[None])
+    xc2 = quat.rotate(quat.conj(q2)[None], X - p2[None])
+    z1, z2 = xc1[:, 2], xc2[:, 2]
+    pr1 = cam.project(xc1)
+    pr2 = cam.project(xc2)
+    e1 = jnp.sum((pr1 - uv1) ** 2, -1)
+    e2 = jnp.sum((pr2 - uv2) ** 2, -1)
+    # parallax: angle between the two viewing rays
+    r1 = xc1 / jnp.linalg.norm(xc1, axis=-1, keepdims=True).clip(1e-6)
+    r2n = X - p2[None]
+    r2n = r2n / jnp.linalg.norm(r2n, axis=-1, keepdims=True).clip(1e-6)
+    r1w = quat.rotate(q1[None], r1)
+    cos_par = jnp.sum(r1w * r2n, -1)
+
+    good = (
+        sel_ok
+        & (z1 > 0.2)
+        & (z2 > 0.2)
+        & (z1 < 80.0)
+        & (e1 <= chi2_max)
+        & (e2 <= chi2_max)
+        & (cos_par < min_parallax_cos)
+    )
+
+    st, new_ids = spawn_map_points(st, kf_id, sel, X, good)
+    st = associate_batch(st, n_id, j_best[sel], jnp.where(good, new_ids, 0), good & (new_ids >= 0))
+    return st, jnp.sum(good.astype(jnp.int32))

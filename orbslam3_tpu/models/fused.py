@@ -398,13 +398,39 @@ class FusedSlam:
             n_kf = int(self.map.n_kf)
             if n_kf >= cfg.imu_init_kfs:
                 self._try_imu_init(n_kf)
-        if self.loop_closer is not None:
-            n_kf = int(self.map.n_kf)
-            while self._n_kf_seen < n_kf:
-                self.map, corrected = self.loop_closer.on_keyframe(
-                    self.map, self._n_kf_seen, self.cam
+        n_kf = int(self.map.n_kf)
+        while self._n_kf_seen < n_kf:
+            k = self._n_kf_seen
+            self._per_keyframe_services(jnp.int32(k))
+            if self.loop_closer is not None:
+                self.map, _corrected = self.loop_closer.on_keyframe(
+                    self.map, k, self.cam
                 )
-                self._n_kf_seen += 1
+            self._n_kf_seen += 1
+
+    def _per_keyframe_services(self, k):
+        """Map maintenance for keyframe k: mono triangulation, duplicate
+        fusion, redundancy-based keyframe culling (reference local-mapping
+        steps 3b/3c + cull, local_mapper.rs:105-142)."""
+        from orbslam3_tpu.map.mapping_ops import (
+            fuse_map_points,
+            keyframe_redundancy,
+            remove_keyframe,
+        )
+        from orbslam3_tpu.map.triangulation import triangulate_with_neighbor
+
+        cfg = self.cfg
+        if cfg.triangulate_mono:
+            self.map, _n_new = triangulate_with_neighbor(self.map, k, self.cam)
+        if cfg.fuse_neighbors:
+            self.map = fuse_map_points(self.map, k, self.cam)
+        if cfg.kf_cull_redundancy > 0 and int(k) >= 6 and int(k) % 3 == 0:
+            # test an older keyframe (never the recent chain the VI edges use)
+            cand = jnp.int32(int(k) - 4)
+            if bool(self.map.kf_valid[cand]) and int(cand) > 0:
+                r = float(keyframe_redundancy(self.map, cand))
+                if r > cfg.kf_cull_redundancy:
+                    self.map = remove_keyframe(self.map, cand)
 
     def _try_imu_init(self, n_kf):
         import numpy as np

@@ -63,6 +63,10 @@ class SlamConfig(NamedTuple):
     # atlas (reference: tracker.rs:549-581 + atlas.rs)
     lost_timeout: float = 1.0  # RecentlyLost -> Lost after this long (ref 5 s)
     min_kfs_keep_map: int = 10  # smaller maps are reset, larger archived
+    # map maintenance (host services)
+    fuse_neighbors: bool = True  # search_in_neighbors duplicate fusion
+    triangulate_mono: bool = True  # 2-view DLT for unmatched mono features
+    kf_cull_redundancy: float = 0.92  # 0 disables keyframe culling
 
 
 class FrameResult(NamedTuple):

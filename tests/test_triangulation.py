@@ -1,0 +1,78 @@
+"""Two-view DLT triangulation tests: exact recovery + gating."""
+import jax.numpy as jnp
+import numpy as np
+
+from orbslam3_tpu.frontend.camera import Camera
+from orbslam3_tpu.geometry import quat
+from orbslam3_tpu.imu.preintegration import PreintState
+from orbslam3_tpu.map.slam_map import MapCapacity, empty_map, insert_keyframe
+from orbslam3_tpu.map.triangulation import _dlt, _projection_matrix, triangulate_with_neighbor
+
+RNG = np.random.default_rng(51)
+CAM = Camera.create(240.0, 240.0, 192.0, 128.0, 0.11, 384, 256)
+CAP = MapCapacity(max_kf=8, n_feat=64, max_mp=512, max_obs=8)
+
+
+def test_dlt_exact():
+    q1 = quat.identity()
+    p1 = jnp.zeros(3)
+    q2 = quat.from_axis_angle(jnp.asarray([0.0, 0.05, 0.0]))
+    p2 = jnp.asarray([0.5, 0.0, 0.0])
+    X = jnp.asarray([1.0, -0.5, 6.0])
+    P1 = _projection_matrix(CAM, q1, p1)
+    P2 = _projection_matrix(CAM, q2, p2)
+    xc1 = quat.rotate(quat.conj(q1), X - p1)
+    xc2 = quat.rotate(quat.conj(q2), X - p2)
+    uv1 = CAM.project(xc1)
+    uv2 = CAM.project(xc2)
+    X_hat = _dlt(P1, P2, uv1, uv2)
+    np.testing.assert_allclose(np.asarray(X_hat), np.asarray(X), atol=1e-3)
+
+
+def test_triangulate_creates_mono_points():
+    """Two keyframes with mono-only features of the same landmarks must gain
+    triangulated map points."""
+    st = empty_map(CAP)
+    L = 40
+    lm = np.stack(
+        [RNG.uniform(-2, 2, L), RNG.uniform(-1.5, 1.5, L), RNG.uniform(4, 9, L)], -1
+    ).astype(np.float32)
+    desc = RNG.integers(0, 256, (L, 32)).astype(np.uint8)
+
+    def kf_inputs(q, p_w):
+        xc = np.asarray(quat.rotate(quat.conj(q)[None], jnp.asarray(lm - p_w)))
+        z = xc[:, 2]
+        uv = np.stack([240 * xc[:, 0] / z + 192, 240 * xc[:, 1] / z + 128], -1)
+        n = CAP.n_feat
+        return dict(
+            time=jnp.float32(0.0), q_wb=q, p_w=jnp.asarray(p_w),
+            vel=jnp.zeros(3), bias_g=jnp.zeros(3), bias_a=jnp.zeros(3),
+            uv=jnp.zeros((n, 2)).at[:L].set(jnp.asarray(uv.astype(np.float32))),
+            u_right=jnp.full((n,), -1.0),
+            depth=jnp.full((n,), -1.0),  # NO stereo depth -> mono
+            octave=jnp.zeros((n,), jnp.int32),
+            desc=jnp.zeros((n, 32), jnp.uint8).at[:L].set(jnp.asarray(desc)),
+            points_cam=jnp.zeros((n, 3)),
+            feat_valid=jnp.zeros((n,), bool).at[:L].set(True),
+            matched_mp=jnp.full((n,), -1, jnp.int32),
+            preint=PreintState.identity(),
+        )
+
+    q0 = quat.identity()
+    st, _ = insert_keyframe(st, **kf_inputs(q0, np.zeros(3, np.float32)),
+                            prev_kf=jnp.int32(-1), new_mp_budget=0)
+    st, k1 = insert_keyframe(st, **kf_inputs(q0, np.array([0.6, 0, 0], np.float32)),
+                             prev_kf=jnp.int32(0), new_mp_budget=0)
+    assert int(st.n_mp) == 0  # nothing from stereo
+    st = st._replace(covis=st.covis.at[0, 1].set(5).at[1, 0].set(5))
+
+    st2, n_new = triangulate_with_neighbor(st, jnp.int32(1), CAM, max_new=64)
+    n_new = int(n_new)
+    assert n_new > L // 2, f"only {n_new} triangulated"
+    # positions match the true landmarks
+    mp = np.asarray(st2.mp_pos)[np.asarray(st2.mp_valid)]
+    d = np.linalg.norm(mp[:, None] - lm[None], axis=-1).min(1)
+    assert np.median(d) < 0.05, np.median(d)
+    # both keyframes observe the new points
+    obs = np.asarray(st2.mp_obs_n)[np.asarray(st2.mp_valid)]
+    assert (obs == 2).all()
