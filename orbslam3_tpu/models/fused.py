@@ -272,6 +272,44 @@ def slam_step(st: sm.MapState, ts: TrackState, left_u8, right_u8,
         n_in_map = sm.count_map_keyframes(st_, st_.active_map)
         st_ = jax.lax.cond(n_in_map >= 3, do_ba, lambda s: s, st_)
 
+        # mono triangulation + duplicate fusion (reference local-mapping
+        # steps 3b/3c) — on-device, part of the same program
+        if cfg.triangulate_mono:
+            from orbslam3_tpu.map.triangulation import triangulate_with_neighbor
+
+            def do_tri(s):
+                s2, _ = triangulate_with_neighbor(s, kf_id, cam)
+                return s2
+
+            st_ = jax.lax.cond(n_in_map >= 2, do_tri, lambda s: s, st_)
+        if cfg.fuse_neighbors:
+            from orbslam3_tpu.map.mapping_ops import fuse_map_points
+
+            st_ = jax.lax.cond(
+                n_in_map >= 3,
+                lambda s: fuse_map_points(s, kf_id, cam),
+                lambda s: s,
+                st_,
+            )
+        # redundancy keyframe culling (reference local_mapper.rs:487) —
+        # test an older keyframe, never the recent VI chain
+        if cfg.kf_cull_redundancy > 0:
+            from orbslam3_tpu.map.mapping_ops import keyframe_redundancy, remove_keyframe
+
+            cand = kf_id - 4
+            can_try = (cand > 0) & (n_in_map >= 7) & st_.kf_valid[jnp.clip(cand, 0, st_.kf_valid.shape[0] - 1)]
+
+            def do_cull_kf(s):
+                r = keyframe_redundancy(s, jnp.clip(cand, 0, s.kf_valid.shape[0] - 1))
+                return jax.lax.cond(
+                    r > cfg.kf_cull_redundancy,
+                    lambda ss: remove_keyframe(ss, jnp.clip(cand, 0, ss.kf_valid.shape[0] - 1)),
+                    lambda ss: ss,
+                    s,
+                )
+
+            st_ = jax.lax.cond(can_try, do_cull_kf, lambda s: s, st_)
+
         # cull every cull_every_kfs keyframes
         cull_due = ts_.kfs_since_cull + 1 >= cfg.cull_every_kfs
         st_ = jax.lax.cond(cull_due, lambda s: sm.cull_map_points(s), lambda s: s, st_)
@@ -409,28 +447,9 @@ class FusedSlam:
             self._n_kf_seen += 1
 
     def _per_keyframe_services(self, k):
-        """Map maintenance for keyframe k: mono triangulation, duplicate
-        fusion, redundancy-based keyframe culling (reference local-mapping
-        steps 3b/3c + cull, local_mapper.rs:105-142)."""
-        from orbslam3_tpu.map.mapping_ops import (
-            fuse_map_points,
-            keyframe_redundancy,
-            remove_keyframe,
-        )
-        from orbslam3_tpu.map.triangulation import triangulate_with_neighbor
-
-        cfg = self.cfg
-        if cfg.triangulate_mono:
-            self.map, _n_new = triangulate_with_neighbor(self.map, k, self.cam)
-        if cfg.fuse_neighbors:
-            self.map = fuse_map_points(self.map, k, self.cam)
-        if cfg.kf_cull_redundancy > 0 and int(k) >= 6 and int(k) % 3 == 0:
-            # test an older keyframe (never the recent chain the VI edges use)
-            cand = jnp.int32(int(k) - 4)
-            if bool(self.map.kf_valid[cand]) and int(cand) > 0:
-                r = float(keyframe_redundancy(self.map, cand))
-                if r > cfg.kf_cull_redundancy:
-                    self.map = remove_keyframe(self.map, cand)
+        """Host-side per-keyframe work. Map maintenance (triangulation,
+        fusion, keyframe culling) now runs ON-DEVICE inside slam_step's
+        keyframe branch; only vocabulary/loop-closing remains here."""
 
     def _try_imu_init(self, n_kf):
         import numpy as np

@@ -148,7 +148,9 @@ def solve_local_ba(prob: BAProblem, cam: Camera, iters: int = 10,
         Wstack = Wstack.reshape(P, C * 6, 3)
 
         lam = damping
-        Hpp_d = Hpp + (jnp.eye(3) * lam)[None] + jnp.eye(3)[None] * 1e-6
+        # scale-relative damping keeps rank-deficient point blocks f32-invertible
+        tr = (Hpp[:, 0, 0] + Hpp[:, 1, 1] + Hpp[:, 2, 2]) / 3.0
+        Hpp_d = Hpp + jnp.eye(3)[None] * (lam + jnp.maximum(lam, 1e-5) * tr + 1e-6)[:, None, None]
         # guard unobserved points
         pt_has_obs = jnp.zeros((P,)).at[e_pt_safe].add(e_valid.astype(jnp.float32)) > 0
         Hpp_inv = jnp.linalg.inv(Hpp_d)

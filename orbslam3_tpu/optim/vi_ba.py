@@ -190,7 +190,11 @@ def solve_vi_ba(prob: VIBAProblem, cam: Camera, iters: int = 8,
         Wstack = Wstack.reshape(P, C * D, 3)
 
         pt_has = jnp.zeros((P,)).at[e_pt_safe].add(e_valid.astype(jnp.float32)) > 0
-        Hpp_inv = jnp.linalg.inv(Hpp + jnp.eye(3)[None] * (damping + 1e-6))
+        # scale-relative damping keeps rank-deficient point blocks f32-invertible
+        tr = (Hpp[:, 0, 0] + Hpp[:, 1, 1] + Hpp[:, 2, 2]) / 3.0
+        Hpp_inv = jnp.linalg.inv(
+            Hpp + jnp.eye(3)[None] * (damping + jnp.maximum(damping, 1e-5) * tr + 1e-6)[:, None, None]
+        )
         Hpp_inv = jnp.where(pt_has[:, None, None], Hpp_inv, 0.0)
 
         Hcc_full = (

@@ -180,7 +180,13 @@ def distributed_global_ba(
         Wstack = Wstack.reshape(Ploc, K * 6, 3)
 
         pt_has = jnp.zeros((Ploc,)).at[e_pt].add(e_valid.astype(jnp.float32)) > 0
-        Hpp_inv = jnp.linalg.inv(Hpp + jnp.eye(3)[None] * (lam + 1e-6))
+        # scale-relative damping: rank-deficient point blocks (e.g. a mono
+        # point seen from one ray) have O(1e3) entries, so absolute 1e-4
+        # damping is numerically invisible in f32 and inv() overflows
+        tr = (Hpp[:, 0, 0] + Hpp[:, 1, 1] + Hpp[:, 2, 2]) / 3.0
+        Hpp_inv = jnp.linalg.inv(
+            Hpp + jnp.eye(3)[None] * (lam + jnp.maximum(lam, 1e-5) * tr + 1e-6)[:, None, None]
+        )
         Hpp_inv = jnp.where(pt_has[:, None, None], Hpp_inv, 0.0)
 
         Hcc_full = (

@@ -1,0 +1,85 @@
+"""Run the SLAM pipeline on a real EuRoC sequence (when data is available).
+
+Usage: python scripts/run_euroc.py /path/to/MH_01_easy [outdir]
+
+Uses the native C++ prefetcher when built (make -C native), PIL otherwise.
+Prints ATE vs the sequence ground truth and exports a TUM trajectory.
+
+Note: EuRoC cameras are radial-tangential distorted and the stereo pair is
+not rectified; this driver currently feeds raw images (matching the
+reference, which also skips rectification — euroc.rs loads raw frames).
+Undistortion/rectification is tracked as a follow-up for accuracy parity on
+real data.
+"""
+import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import json
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from orbslam3_tpu.eval.metrics import ate_rmse
+    from orbslam3_tpu.frontend.camera import Camera
+    from orbslam3_tpu.io import native
+    from orbslam3_tpu.io.euroc import EurocDataset
+    from orbslam3_tpu.models.fused import FusedSlam
+    from orbslam3_tpu.models.slam import SlamConfig
+    from orbslam3_tpu.viz.export import save_trajectory_tum
+
+    if len(sys.argv) < 2:
+        print("usage: run_euroc.py <sequence_dir> [outdir]")
+        return 1
+    ds = EurocDataset(sys.argv[1])
+    outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/orbslam3_tpu_euroc"
+    os.makedirs(outdir, exist_ok=True)
+
+    K = ds.cam0.K
+    w, h = ds.cam0.resolution
+    cam = Camera.create(K[0, 0], K[1, 1], K[0, 2], K[1, 2], ds.baseline, w, h)
+    slam = FusedSlam(cam, SlamConfig(kf_max_frames=6))
+
+    prefetch = None
+    if native.available():
+        paths = [
+            os.path.join(ds.root, "cam0", "data", f) for f in ds.image_files
+        ]
+        prefetch = native.ImagePrefetcher(paths, w, h, threads=3)
+
+    n = len(ds)
+    for i in range(n):
+        t = ds.frame_time(i)
+        t_prev = ds.frame_time(i - 1) if i > 0 else t
+        if prefetch is not None:
+            left = prefetch.get(i)
+            _, right = ds.stereo_pair(i)
+        else:
+            left, right = ds.stereo_pair(i)
+        g, a, d = ds.imu_between(t_prev, t)
+        slam.process_frame(
+            np.asarray(left, np.uint8), np.asarray(right, np.uint8), g, a, d, t
+        )
+        if i % 100 == 0:
+            print(f"frame {i}/{n}")
+
+    ts, ps, qs = slam.trajectory_arrays()
+    save_trajectory_tum(os.path.join(outdir, "trajectory.tum"), ts, ps, qs)
+    gt = ds.groundtruth_at_frames()
+    result = {
+        "frames": n,
+        "keyframes": int(slam.map.n_kf),
+        "imu_initialized": slam.imu_initialized,
+        "outdir": outdir,
+    }
+    if gt is not None:
+        result["ate_m"] = round(ate_rmse(ps - ps[0], gt[: len(ps)]), 4)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
