@@ -29,6 +29,7 @@ class OrbConfig(NamedTuple):
     fast_threshold_min: float = 7.0
     cell: int = 32
     k_cell: int = 6
+    use_pallas_fast: bool = False  # Pallas fused FAST+NMS (TPU only; exact)
 
 
 class Features(NamedTuple):
@@ -63,15 +64,23 @@ def detect_orb(img, cfg: OrbConfig = OrbConfig()) -> Features:
     quotas = level_quotas(cfg)
 
     parts = []
+    use_pallas = cfg.use_pallas_fast and jax.default_backend() == "tpu"
     for lv, lv_img in enumerate(levels):
         scale = cfg.scale_factor**lv
-        score = fast_ops.fast_score(lv_img, cfg.fast_threshold)
-        # low-threshold fallback where the strict map is empty-ish: blend by
-        # taking max with a heavily attenuated low-threshold map, so weak
-        # corners only win where no strong corner exists in the cell.
-        score_lo = fast_ops.fast_score(lv_img, cfg.fast_threshold_min) * 1e-3
-        score = jnp.maximum(score, score_lo)
-        score = fast_ops.nms3x3(score)
+        if use_pallas:
+            from orbslam3_tpu.ops.fast_pallas import fast_nms_pallas
+
+            score = fast_nms_pallas(
+                lv_img, cfg.fast_threshold, cfg.fast_threshold_min
+            )
+        else:
+            score = fast_ops.fast_score(lv_img, cfg.fast_threshold)
+            # low-threshold fallback where the strict map is empty-ish:
+            # attenuated low-threshold max, so weak corners only win where
+            # no strong corner exists in the cell.
+            score_lo = fast_ops.fast_score(lv_img, cfg.fast_threshold_min) * 1e-3
+            score = jnp.maximum(score, score_lo)
+            score = fast_ops.nms3x3(score)
         score = fast_ops.mask_border(score, BORDER)
         ys, xs, resp = fast_ops.select_keypoints(
             score, cell=max(8, int(cfg.cell / scale ** 0.5)), k_cell=cfg.k_cell, n_out=quotas[lv]

@@ -195,3 +195,27 @@ def test_jit_integrate():
     st = f(gyro, acc, dts, mask)
     st2 = integrate(gyro, acc, dts, mask)
     np.testing.assert_allclose(st.dp, st2.dp, atol=1e-6)
+
+
+def test_integrate_assoc_matches_scan():
+    """Associative-scan preintegration == sequential scan (f32 precision),
+    including masked padding rows."""
+    gyro, acc, dts, mask = make_const_motion_imu([0.3, -0.2, 0.4], [0.2, 0.3, -0.1], quat.identity(), [0.1, 0, 0], n=64)
+    bg = jnp.asarray([0.01, -0.02, 0.005])
+    ba = jnp.asarray([0.05, 0.02, -0.03])
+    s1 = pre.integrate(gyro, acc, dts, mask, bg, ba)
+    s2 = pre.integrate_assoc(gyro, acc, dts, mask, bg, ba)
+    np.testing.assert_allclose(np.asarray(s1.dq), np.asarray(s2.dq), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s1.dv), np.asarray(s2.dv), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s1.dp), np.asarray(s2.dp), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s1.cov), np.asarray(s2.cov), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s1.J_r_bg), np.asarray(s2.J_r_bg), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s1.J_p_ba), np.asarray(s2.J_p_ba), atol=1e-5)
+    # masked garbage rows are no-ops
+    pad = 16
+    g2 = jnp.concatenate([gyro, jnp.full((pad, 3), 9.0)])
+    a2 = jnp.concatenate([acc, jnp.full((pad, 3), -9.0)])
+    d2 = jnp.concatenate([dts, jnp.full((pad,), 0.1)])
+    m2 = jnp.concatenate([mask, jnp.zeros(pad, bool)])
+    s3 = pre.integrate_assoc(g2, a2, d2, m2, bg, ba)
+    np.testing.assert_allclose(np.asarray(s3.dp), np.asarray(s2.dp), atol=1e-7)
