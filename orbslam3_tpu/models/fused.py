@@ -424,7 +424,13 @@ class FusedSlam:
         )
         self.outs.append((t, out))
         self._frames += 1
-        if self._frames % self.service_every == 0:
+        # host services force a pipeline sync; skip them entirely once
+        # nothing host-side remains to do (IMU initialized, no loop closer)
+        need_services = (
+            self.loop_closer is not None
+            or (self.cfg.use_imu and not self.imu_initialized)
+        )
+        if need_services and self._frames % self.service_every == 0:
             self._host_services()
         return out
 

@@ -5,11 +5,9 @@ Usage: python scripts/run_euroc.py /path/to/MH_01_easy [outdir]
 Uses the native C++ prefetcher when built (make -C native), PIL otherwise.
 Prints ATE vs the sequence ground truth and exports a TUM trajectory.
 
-Note: EuRoC cameras are radial-tangential distorted and the stereo pair is
-not rectified; this driver currently feeds raw images (matching the
-reference, which also skips rectification — euroc.rs loads raw frames).
-Undistortion/rectification is tracked as a follow-up for accuracy parity on
-real data.
+Frames are undistorted + stereo-rectified (io/rectify.py) before the SLAM
+pipeline — unlike the reference, which feeds raw distorted EuRoC frames
+(euroc.rs loads images as-is).
 """
 import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -39,10 +37,20 @@ def main():
     outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/orbslam3_tpu_euroc"
     os.makedirs(outdir, exist_ok=True)
 
-    K = ds.cam0.K
+    import jax.numpy as jnp
+
+    from orbslam3_tpu.io.rectify import remap_bilinear, stereo_rectify_maps
+
     w, h = ds.cam0.resolution
-    cam = Camera.create(K[0, 0], K[1, 1], K[0, 2], K[1, 2], ds.baseline, w, h)
+    maps = stereo_rectify_maps(
+        ds.cam0.K, ds.cam0.dist, ds.cam0.T_BS,
+        ds.cam1.K, ds.cam1.dist, ds.cam1.T_BS, (w, h),
+    )
+    Kn = maps.K_new
+    cam = Camera.create(Kn[0, 0], Kn[1, 1], Kn[0, 2], Kn[1, 2], maps.baseline, w, h)
     slam = FusedSlam(cam, SlamConfig(kf_max_frames=6))
+    mx0, my0 = jnp.asarray(maps.map_x0), jnp.asarray(maps.map_y0)
+    mx1, my1 = jnp.asarray(maps.map_x1), jnp.asarray(maps.map_y1)
 
     prefetch = None
     if native.available():
@@ -61,9 +69,9 @@ def main():
         else:
             left, right = ds.stereo_pair(i)
         g, a, d = ds.imu_between(t_prev, t)
-        slam.process_frame(
-            np.asarray(left, np.uint8), np.asarray(right, np.uint8), g, a, d, t
-        )
+        left_r = np.asarray(remap_bilinear(jnp.asarray(left, jnp.float32), mx0, my0), np.uint8)
+        right_r = np.asarray(remap_bilinear(jnp.asarray(right, jnp.float32), mx1, my1), np.uint8)
+        slam.process_frame(left_r, right_r, g, a, d, t)
         if i % 100 == 0:
             print(f"frame {i}/{n}")
 
