@@ -44,6 +44,7 @@ class LoopConfig(NamedTuple):
     covis_edges_per_node: int = 6
     pose_graph_iters: int = 10
     loop_edge_weight: float = 100.0  # (ref: loop edge weight 100)
+    allow_cross_map: bool = True  # detect candidates in archived maps -> merge
     run_global_ba: bool = True  # reference runs global BA after correction
     gba_max_points: int = 8192
     gba_obs: int = 8
@@ -127,6 +128,14 @@ class LoopCloser:
             return st, False
         self.stats = self.stats._replace(verified=self.stats.verified + 1)
 
+        cross_map = int(st.kf_map_id[cand]) != int(st.kf_map_id[kf_id])
+        if cross_map:
+            st = self._merge_maps(st, kf_id, cand, S_rel)
+            self.stats = self.stats._replace(corrected=self.stats.corrected + 1)
+            self.last_loop_kf = kf_id
+            self._consistency_groups.clear()
+            return st, True
+
         st = self._correct(st, kf_id, cand, S_rel, cam)
         self.stats = self.stats._replace(corrected=self.stats.corrected + 1)
         self.last_loop_kf = kf_id
@@ -143,13 +152,19 @@ class LoopCloser:
         valid = np.asarray(st.kf_valid)
         kf_map = np.asarray(st.kf_map_id)
         same_map = kf_map == kf_map[kf_id]
+        if cfg.allow_cross_map:
+            # archived maps are fair game: a hit there triggers a MERGE
+            # (capability the reference lacks — SURVEY.md §2.1 #31)
+            map_ok = same_map | (kf_map >= 0)
+        else:
+            map_ok = same_map
         s = np.asarray(scores)
 
         connected = covis_row > 0
         recent = np.abs(np.arange(len(s)) - kf_id) < cfg.recent_gap
         # only keyframes that existed before the query (ids are monotonic)
         earlier = np.arange(len(s)) < kf_id
-        mask = valid & same_map & ~connected & ~recent & earlier
+        mask = valid & map_ok & ~connected & ~recent & earlier
         if not mask.any():
             return None
 
@@ -218,6 +233,43 @@ class LoopCloser:
         if int(n_inl) < cfg.min_sim3_inliers:
             return None
         return S
+
+    def _merge_maps(self, st: MapState, kf_id: int, cand: int, S_rel: Sim3):
+        """Fold the current (newer) map into the candidate's (older) map.
+
+        The verified Sim3 gives T_cand<-cur between body frames; the rigid
+        world correction T = T_w(cand) * S_rel * T_w(cur)^-1 maps current-map
+        world coordinates into the old map's world frame. All current-map
+        keyframes/points are transformed and relabeled; the old map becomes
+        active. (ORB-SLAM3-paper map merging — absent from the reference.)
+        """
+        cur_map = st.kf_map_id[kf_id]
+        old_map = st.kf_map_id[cand]
+
+        T_cand = Sim3(st.kf_q[cand], st.kf_p[cand], jnp.ones(()))
+        T_cur = Sim3(st.kf_q[kf_id], st.kf_p[kf_id], jnp.ones(()))
+        T_corr = T_cand.compose(S_rel).compose(T_cur.inverse())
+
+        in_cur_kf = st.kf_valid & (st.kf_map_id == cur_map)
+        in_cur_mp = st.mp_valid & (st.mp_map_id == cur_map)
+
+        q_new = quat.normalize(quat.mul(T_corr.q[None], st.kf_q))
+        p_new = quat.rotate(T_corr.q[None], st.kf_p) * T_corr.s + T_corr.t[None]
+        v_new = quat.rotate(T_corr.q[None], st.kf_v)
+        mp_new = T_corr.apply(st.mp_pos)
+        nrm_new = quat.rotate(T_corr.q[None], st.mp_normal)
+
+        st = st._replace(
+            kf_q=jnp.where(in_cur_kf[:, None], q_new, st.kf_q),
+            kf_p=jnp.where(in_cur_kf[:, None], p_new, st.kf_p),
+            kf_v=jnp.where(in_cur_kf[:, None], v_new, st.kf_v),
+            kf_map_id=jnp.where(in_cur_kf, old_map, st.kf_map_id),
+            mp_pos=jnp.where(in_cur_mp[:, None], mp_new, st.mp_pos),
+            mp_normal=jnp.where(in_cur_mp[:, None], nrm_new, st.mp_normal),
+            mp_map_id=jnp.where(in_cur_mp, old_map, st.mp_map_id),
+            active_map=old_map,
+        )
+        return st
 
     def _correct(self, st: MapState, kf_id: int, cand: int, S_rel: Sim3, cam: Camera):
         """Pose-graph correction over the essential graph, then map-point

@@ -1,0 +1,85 @@
+"""FusedSlam + vocabulary service integration: a sensor blackout forces a
+second map; the cross-map loop path must merge it back into the first.
+Exercises the whole stack end-to-end through the fused device program +
+host services (driver configs #3/#4 combined)."""
+import numpy as np
+import pytest
+
+from orbslam3_tpu.eval.metrics import ate_rmse
+from orbslam3_tpu.frontend.orb import OrbConfig
+from orbslam3_tpu.io.synthetic import SyntheticConfig, SyntheticWorld
+from orbslam3_tpu.loop import vocab as vb
+from orbslam3_tpu.map.slam_map import MapCapacity
+from orbslam3_tpu.models.fused import FusedSlam
+from orbslam3_tpu.models.slam import SlamConfig
+from orbslam3_tpu.models.tracker import TrackConfig
+
+
+@pytest.mark.slow
+def test_blackout_then_merge():
+    cfg = SyntheticConfig(
+        width=384, height=256, fx=240.0, fy=240.0, n_landmarks=600,
+        duration=8.0, cam_hz=10.0, pos_amp=(1.0, 0.7, 0.25),
+        yaw_amp=0.5,
+    )
+    world = SyntheticWorld(cfg)
+
+    # vocabulary trained on descriptors from a few frames of this world
+    from orbslam3_tpu.frontend.orb import detect_orb
+    import jax.numpy as jnp
+
+    orb_cfg = OrbConfig(n_features=384, n_levels=4)
+    corpus = []
+    doc = []
+    for i, t in enumerate([0.0, 1.0, 2.0, 3.0]):
+        left, _ = world.render_frame(t)
+        f = detect_orb(jnp.asarray(left), orb_cfg)
+        d = np.asarray(f.desc)[np.asarray(f.valid)]
+        corpus.append(d)
+        doc.append(np.full(len(d), i))
+    voc = vb.train_vocabulary(
+        np.concatenate(corpus), k=8, levels=3,
+        doc_ids=np.concatenate(doc),
+    )
+
+    slam_cfg = SlamConfig(
+        orb=orb_cfg,
+        cap=MapCapacity(max_kf=96, n_feat=384, max_mp=8192, max_obs=8),
+        track=TrackConfig(p_local=2048),
+        ba_points=1024,
+        use_imu=False,
+        kf_max_frames=2,
+        lost_timeout=0.3,
+        min_kfs_keep_map=5,
+    )
+    slam = FusedSlam(world.cam, slam_cfg, vocabulary=voc, service_every=2)
+    # cross-map merges should fire readily in this test
+    slam.loop_closer.cfg = slam.loop_closer.cfg._replace(
+        recent_gap=3, consistency_needed=2, covis_edge_weight_min=10,
+        run_global_ba=False,
+    )
+
+    times = world.frame_times()
+    blank = np.full((cfg.height, cfg.width), 127.0, np.float32)
+    blackout = (2.5, 3.3)
+    for t in times:
+        if blackout[0] <= t < blackout[1]:
+            left = right = blank
+        else:
+            left, right = world.render_frame(t)
+        slam.process_frame(left, right, np.zeros((0, 3)), np.zeros((0, 3)),
+                           np.zeros(0), float(t))
+
+    kf_maps = np.asarray(slam.map.kf_map_id)[np.asarray(slam.map.kf_valid)]
+    distinct = set(kf_maps.tolist())
+    assert slam.loop_closer.stats.corrected >= 1, (
+        f"no merge/loop correction: {slam.loop_closer.stats}, maps={distinct}"
+    )
+    assert distinct == {0}, f"maps not merged: {distinct}"
+
+    # trajectory after the merge should re-align with ground truth
+    ts, ps, qs = slam.trajectory_arrays()
+    gt_p, _ = world.gt_trajectory()
+    post = times > blackout[1] + 2.0
+    ate_post = ate_rmse(ps[post[: len(ps)]], gt_p[: len(ps)][post[: len(ps)]])
+    assert ate_post < 0.15, f"post-merge ATE {ate_post:.3f}"

@@ -222,3 +222,83 @@ def test_loop_closure_end_to_end():
         err_before = np.linalg.norm(poses2[i] - poses1[i])
         err_after = np.linalg.norm(est - poses1[i])
         assert err_after < 0.5 * err_before, (kid, est, poses1[i], err_after, err_before)
+
+
+@pytest.mark.slow
+def test_cross_map_merge():
+    """After a tracking loss, a second map observing the same wall (with a
+    shifted world origin) must be folded back into the first map by the
+    cross-map loop path (map merging — absent from the reference)."""
+    from orbslam3_tpu.map.slam_map import create_new_map
+
+    offset = np.array([0.5, 0.0, 0.3], np.float32)  # new map's origin error
+    cap = MapCapacity(max_kf=16, n_feat=128, max_mp=2048, max_obs=8)
+    st = empty_map(cap)
+    L = 96
+    lm = np.stack(
+        [RNG.uniform(-3, 3, L), RNG.uniform(-2, 2, L), np.full(L, 6.0)], -1
+    ).astype(np.float32)
+    lm_desc = RNG.integers(0, 256, (L, 32)).astype(np.uint8)
+
+    def make_kf(p_est, matched_ids, p_render):
+        xc = lm - p_render
+        z = xc[:, 2]
+        uv = np.stack([240 * xc[:, 0] / z + 192, 240 * xc[:, 1] / z + 128], -1)
+        n = cap.n_feat
+        mm_ = np.full(n, -1, np.int32)
+        if matched_ids is not None:
+            mm_[:L] = matched_ids
+        return dict(
+            time=jnp.float32(0.0), q_wb=quat.identity(), p_w=jnp.asarray(p_est),
+            vel=jnp.zeros(3), bias_g=jnp.zeros(3), bias_a=jnp.zeros(3),
+            uv=jnp.zeros((n, 2)).at[:L].set(jnp.asarray(uv.astype(np.float32))),
+            u_right=jnp.full((n,), -1.0),
+            depth=jnp.full((n,), -1.0).at[:L].set(jnp.asarray(z)),
+            octave=jnp.zeros((n,), jnp.int32),
+            desc=jnp.zeros((n, 32), jnp.uint8).at[:L].set(jnp.asarray(lm_desc)),
+            points_cam=jnp.zeros((n, 3)).at[:L].set(jnp.asarray(xc)),
+            feat_valid=jnp.zeros((n,), bool).at[:L].set(True),
+            matched_mp=jnp.asarray(mm_),
+            preint=PreintState.identity(),
+        )
+
+    # map 0: 5 keyframes along x at true poses
+    poses1 = [np.array([x, 0, 0], np.float32) for x in np.linspace(-1, 1, 5)]
+    st, _ = insert_keyframe(st, **make_kf(poses1[0], None, poses1[0]),
+                            prev_kf=jnp.int32(-1), new_mp_budget=128)
+    for p in poses1[1:]:
+        st, _ = insert_keyframe(
+            st, **make_kf(p, np.arange(L, dtype=np.int32), p),
+            prev_kf=jnp.int32(0), new_mp_budget=0,
+        )
+    # tracking lost -> new map; re-init believes it is at poses1+offset
+    st = create_new_map(st)
+    second_ids = np.asarray(range(L, 2 * L), dtype=np.int32)
+    st, _ = insert_keyframe(
+        st, **make_kf(poses1[0] + offset, None, poses1[0]),
+        prev_kf=jnp.int32(-1), new_mp_budget=128,
+    )
+    for p_true in poses1[1:3]:
+        st, _ = insert_keyframe(
+            st, **make_kf(p_true + offset, second_ids, p_true),
+            prev_kf=jnp.int32(5), new_mp_budget=0,
+        )
+
+    corpus = np.concatenate([lm_desc, RNG.integers(0, 256, (2000, 32)).astype(np.uint8)])
+    voc = vb.train_vocabulary(corpus, k=6, levels=3)
+    closer = LoopCloser(voc, LoopConfig(recent_gap=2, consistency_needed=2,
+                                        covis_edge_weight_min=10, run_global_ba=False))
+    merged = False
+    for k in range(int(st.n_kf)):
+        st, c = closer.on_keyframe(st, k, CAM)
+        merged = merged or c
+
+    assert merged, closer.stats
+    # everything back in one map
+    maps = np.asarray(st.kf_map_id)[np.asarray(st.kf_valid)]
+    assert set(maps.tolist()) == {0}
+    assert int(st.active_map) == 0
+    # merged keyframes pulled onto their true positions
+    for kid, p_true in zip(range(5, 8), poses1[:3]):
+        err = np.linalg.norm(np.asarray(st.kf_p[kid]) - p_true)
+        assert err < 0.1, (kid, np.asarray(st.kf_p[kid]), p_true, err)
