@@ -46,7 +46,7 @@ def main():
         imu.append(world.imu_window(t_prev, t))
 
     slam_cfg = SlamConfig(use_imu=True, kf_max_frames=4)
-    slam = FusedSlam(world.cam, slam_cfg, service_every=8)
+    slam = FusedSlam(world.cam, slam_cfg, service_every=8, chunk=4)
 
     # warmup: first frames trigger all compilations
     WARM = 8
@@ -58,6 +58,9 @@ def main():
     for i in range(WARM, len(times)):
         g, a, d = imu[i]
         slam.process_frame(frames[i][0], frames[i][1], g, a, d, float(times[i]))
+    slam.flush()
+    import jax as _jax
+    _jax.block_until_ready(slam.ts.q)
     elapsed = time.perf_counter() - t0
     n_timed = len(times) - WARM
     fps = n_timed / elapsed

@@ -95,6 +95,9 @@ class TrackState(NamedTuple):
 
 
 class FrameOut(NamedTuple):
+    """Per-frame outputs (reference: TrackingResult/TrackingMetrics,
+    result.rs:17-75 — features/matches/inliers/reprojection statistics)."""
+
     q: jnp.ndarray
     p: jnp.ndarray
     v: jnp.ndarray
@@ -104,12 +107,46 @@ class FrameOut(NamedTuple):
     is_kf: jnp.ndarray
     kf_id: jnp.ndarray
     n_kf: jnp.ndarray
+    n_features: jnp.ndarray  # valid detections this frame
+    n_stereo: jnp.ndarray  # features with stereo depth
+    mean_reproj_px: jnp.ndarray  # RMS reprojection error of inliers [px]
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0, 1))
 def slam_step(st: sm.MapState, ts: TrackState, left_u8, right_u8,
               gyro, acc, dts, imu_mask, t, cam: Camera, cfg):
     """One full SLAM iteration. cfg is a SlamConfig (static)."""
+    return _slam_step_core(st, ts, left_u8, right_u8, gyro, acc, dts,
+                           imu_mask, t, cam, cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0, 1))
+def slam_step_chunk(st: sm.MapState, ts: TrackState, lefts, rights,
+                    gyro, acc, dts, imu_mask, t, cam: Camera, cfg):
+    """C SLAM iterations in ONE dispatch (lax.scan over the step core).
+
+    Host->device dispatch through the tunnel costs ~26 ms of arg marshaling
+    per call for the ~45-buffer map pytree; batching C frames per dispatch
+    amortizes it C-fold. Inputs carry a leading chunk axis; outputs are the
+    batched per-frame FrameOuts. Latency grows by C frames — a throughput/
+    latency knob (C=1 for realtime-on-local-hardware, C=4+ for tunnel/
+    offline runs).
+    """
+
+    def body(carry, x):
+        st_, ts_ = carry
+        l, r, g, a, d, m, tt = x
+        st_, ts_, out = _slam_step_core(st_, ts_, l, r, g, a, d, m, tt, cam, cfg)
+        return (st_, ts_), out
+
+    (st, ts), outs = jax.lax.scan(
+        body, (st, ts), (lefts, rights, gyro, acc, dts, imu_mask, t)
+    )
+    return st, ts, outs
+
+
+def _slam_step_core(st: sm.MapState, ts: TrackState, left_u8, right_u8,
+                    gyro, acc, dts, imu_mask, t, cam: Camera, cfg):
     left = left_u8.astype(jnp.float32)
     right = right_u8.astype(jnp.float32)
 
@@ -354,10 +391,26 @@ def slam_step(st: sm.MapState, ts: TrackState, left_u8, right_u8,
     )
     st, ts, kf_id = jax.lax.cond(is_kf, do_insert, no_insert, (st, ts))
 
+    # tracking-quality metrics (reference: TrackingMetrics, result.rs:30-40)
+    from orbslam3_tpu.optim.pose_only import _visual_residual as _vr
+
+    r_fin = jax.vmap(
+        lambda Xw, uv_i, ur_i: _vr(jnp.zeros(6), ts.q, ts.p, cam, Xw, uv_i, ur_i),
+        in_axes=(0, 0, 0),
+    )(mp_w, featL.uv, jnp.where(valid, u_r, -1.0))
+    inl_f = inliers.astype(jnp.float32) * valid.astype(jnp.float32)
+    sq = jnp.sum(r_fin[:, :2] ** 2, -1)
+    mean_reproj = jnp.sqrt(
+        jnp.sum(sq * inl_f) / jnp.maximum(jnp.sum(inl_f), 1.0)
+    )
+
     out = FrameOut(
         q=ts.q, p=ts.p, v=ts.v,
         n_matches=n_matches, n_inliers=n_inl,
         mode=ts.mode, is_kf=is_kf, kf_id=kf_id, n_kf=st.n_kf,
+        n_features=jnp.sum(featL.valid.astype(jnp.int32)),
+        n_stereo=n_stereo,
+        mean_reproj_px=mean_reproj,
     )
     return st, ts, out
 
@@ -379,7 +432,8 @@ class FusedSlam:
     `service_every` frames on the lazily-fetched outputs.
     """
 
-    def __init__(self, cam: Camera, cfg, vocabulary=None, service_every: int = 8):
+    def __init__(self, cam: Camera, cfg, vocabulary=None, service_every: int = 8,
+                 chunk: int = 1):
         from orbslam3_tpu.map.slam_map import empty_map
 
         self.cam = cam
@@ -388,6 +442,8 @@ class FusedSlam:
         self.ts = _materialize(TrackState.initial())
         self.outs: list = []  # (t, FrameOut) — device handles, no sync
         self.service_every = service_every
+        self.chunk = chunk  # frames per device dispatch (throughput knob)
+        self._pending: list = []
         self._frames = 0
         self._imu_buffer_edges = []
         self.imu_initialized = False
@@ -415,14 +471,20 @@ class FusedSlam:
         import numpy as np
 
         g, a, d, m = self._pad_imu(gyro, acc, dts)
-        self.map, self.ts, out = slam_step(
-            self.map, self.ts,
-            jnp.asarray(np.asarray(left, np.uint8) if left.dtype != np.uint8 else left),
-            jnp.asarray(np.asarray(right, np.uint8) if right.dtype != np.uint8 else right),
-            jnp.asarray(g), jnp.asarray(a), jnp.asarray(d), jnp.asarray(m),
-            jnp.float32(t), self.cam, self.cfg,
-        )
-        self.outs.append((t, out))
+        l_u8 = np.asarray(left, np.uint8) if left.dtype != np.uint8 else left
+        r_u8 = np.asarray(right, np.uint8) if right.dtype != np.uint8 else right
+        out = None
+        if self.chunk > 1:
+            self._pending.append((l_u8, r_u8, g, a, d, m, np.float32(t)))
+            if len(self._pending) >= self.chunk:
+                out = self.flush()
+        else:
+            self.map, self.ts, out = slam_step(
+                self.map, self.ts, jnp.asarray(l_u8), jnp.asarray(r_u8),
+                jnp.asarray(g), jnp.asarray(a), jnp.asarray(d), jnp.asarray(m),
+                jnp.float32(t), self.cam, self.cfg,
+            )
+            self.outs.append((t, out))
         self._frames += 1
         # host services force a pipeline sync; skip them entirely once
         # nothing host-side remains to do (IMU initialized, no loop closer)
@@ -431,8 +493,28 @@ class FusedSlam:
             or (self.cfg.use_imu and not self.imu_initialized)
         )
         if need_services and self._frames % self.service_every == 0:
+            if self._pending:
+                self.flush()
             self._host_services()
         return out
+
+    def flush(self):
+        """Dispatch any buffered frames as one chunked device call."""
+        import numpy as np
+
+        if not self._pending:
+            return None
+        batch = self._pending
+        self._pending = []
+        stacked = [jnp.asarray(np.stack([b[i] for b in batch])) for i in range(7)]
+        self.map, self.ts, outs = slam_step_chunk(
+            self.map, self.ts, *stacked, self.cam, self.cfg
+        )
+        # keep the batched FrameOut as ONE device handle; slicing per frame
+        # here would issue dozens of tiny device ops and resurrect the
+        # dispatch overhead the chunking removed. Host unpacks lazily.
+        self.outs.append(([float(b[6]) for b in batch], outs))
+        return outs
 
     # ------------------------------------------------------------------
     def _host_services(self):
@@ -502,15 +584,32 @@ class FusedSlam:
         self.imu_initialized = True
 
     # ------------------------------------------------------------------
+    def _flat_outs(self):
+        """Host-side flatten: chunked entries hold batched FrameOuts."""
+        import numpy as np
+
+        ts_, outs = [], []
+        for t, o in self.outs:
+            if isinstance(t, list):  # chunked
+                arrs = jax.tree.map(np.asarray, o)
+                for i in range(len(t)):
+                    ts_.append(t[i])
+                    outs.append(jax.tree.map(lambda a, idx=i: a[idx], arrs))
+            else:
+                ts_.append(t)
+                outs.append(jax.tree.map(np.asarray, o))
+        return ts_, outs
+
     def trajectory_arrays(self):
         import numpy as np
 
-        ts_ = np.array([t for t, _ in self.outs])
-        ps = np.stack([np.asarray(o.p) for _, o in self.outs])
-        qs = np.stack([np.asarray(o.q) for _, o in self.outs])
-        return ts_, ps, qs
+        ts_, outs = self._flat_outs()
+        ps = np.stack([o.p for o in outs])
+        qs = np.stack([o.q for o in outs])
+        return np.asarray(ts_), ps, qs
 
     def modes(self):
         import numpy as np
 
-        return np.array([int(o.mode) for _, o in self.outs])
+        ts_, outs = self._flat_outs()
+        return np.array([int(o.mode) for o in outs])

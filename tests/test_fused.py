@@ -13,7 +13,8 @@ from orbslam3_tpu.models.tracker import TrackConfig
 
 
 @pytest.mark.slow
-def test_fused_stereo_inertial():
+@pytest.mark.parametrize("chunk", [1, 4])
+def test_fused_stereo_inertial(chunk):
     cfg = SyntheticConfig(
         width=384, height=256, fx=240.0, fy=240.0, n_landmarks=600,
         duration=4.0, cam_hz=10.0, pos_amp=(1.2, 0.8, 0.3),
@@ -29,7 +30,7 @@ def test_fused_stereo_inertial():
         kf_max_frames=2,
         imu_init_kfs=8,
     )
-    slam = FusedSlam(world.cam, slam_cfg, service_every=4)
+    slam = FusedSlam(world.cam, slam_cfg, service_every=4, chunk=chunk)
 
     times = world.frame_times()
     for i, t in enumerate(times):
@@ -37,6 +38,7 @@ def test_fused_stereo_inertial():
         t_prev = times[i - 1] if i > 0 else t
         g, a, d = world.imu_window(t_prev, t)
         slam.process_frame(left, right, g, a, d, float(t))
+    slam.flush()
 
     modes = slam.modes()
     ok_frac = (modes == MODE_OK).mean()
