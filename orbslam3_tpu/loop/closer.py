@@ -131,6 +131,9 @@ class LoopCloser:
         cross_map = int(st.kf_map_id[cand]) != int(st.kf_map_id[kf_id])
         if cross_map:
             st = self._merge_maps(st, kf_id, cand, S_rel)
+            # refine the welded map: pose graph over both segments + global
+            # BA (the rigid fold leaves the seam's visual residual intact)
+            st = self._correct(st, kf_id, cand, S_rel, cam)
             self.stats = self.stats._replace(corrected=self.stats.corrected + 1)
             self.last_loop_kf = kf_id
             self._consistency_groups.clear()

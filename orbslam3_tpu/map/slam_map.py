@@ -259,6 +259,7 @@ def insert_keyframe(
     # reference policy: close stereo points are the reliable ones)
     can_new = feat_valid & (matched_mp < 0) & (depth > 0)
     prio = jnp.where(can_new, -depth, -jnp.inf)
+    new_mp_budget = min(new_mp_budget, N)
     _, sel = jax.lax.top_k(prio, new_mp_budget)  # (B,) feature indices
     sel_ok = can_new[sel]
 
@@ -372,10 +373,16 @@ def local_window(st: MapState, kf_id, window: int):
     Returns (ids (window,), valid (window,)). Replaces the reference's
     sorted-covisibility traversal (keyframe.rs:270-345) with one top_k.
     """
+    K = st.kf_valid.shape[0]
     weights = st.covis[kf_id] * st.kf_valid * (st.kf_map_id == st.kf_map_id[kf_id])
     weights = weights.at[kf_id].set(0)
-    w, ids = jax.lax.top_k(weights, window - 1)
-    ids = jnp.concatenate([kf_id[None], ids])
+    k_eff = min(window - 1, K)  # tiny-capacity maps: top_k k must fit
+    w, ids = jax.lax.top_k(weights, k_eff)
+    pad = window - 1 - k_eff
+    if pad:
+        ids = jnp.concatenate([ids, jnp.zeros(pad, ids.dtype)])
+        w = jnp.concatenate([w, jnp.zeros(pad, w.dtype)])
+    ids = jnp.concatenate([jnp.asarray(kf_id)[None], ids])
     valid = jnp.concatenate([jnp.ones(1, bool), w > 0])
     return ids, valid
 

@@ -264,7 +264,10 @@ def _slam_step_core(st: sm.MapState, ts: TrackState, left_u8, right_u8,
             & (n_inl > cfg.kf_min_inliers)
         )
     )
-    is_kf = want_init | policy_kf
+    # capacity guard: never insert past the keyframe array (XLA scatter
+    # would silently drop rows while counters advance -> corrupted map)
+    has_room = st.n_kf < st.kf_valid.shape[0]
+    is_kf = (want_init | policy_kf) & has_room
 
     matched_for_insert = jnp.where(want_init, -1, matched)
 

@@ -64,12 +64,15 @@ def orientations(img, ys, xs):
 
 
 def _moment_weights(S):
-    """(S*S, 2) moment weight matrix embedding the 31x31 circular mask."""
+    """(S*S, 2) moment weight matrix embedding the 31x31 circular mask.
+
+    Returns NUMPY (cached as numpy): caching a jnp array created inside a
+    jit trace leaks a tracer into later traces."""
     off = (S - (2 * ORI_RADIUS + 1)) // 2
     W = np.zeros((S, S, 2), np.float32)
     W[off : off + 31, off : off + 31, 0] = np.asarray(ORI_X)
     W[off : off + 31, off : off + 31, 1] = np.asarray(ORI_Y)
-    return jnp.asarray(W.reshape(S * S, 2))
+    return W.reshape(S * S, 2)
 
 
 _MOMENT_W = {}
@@ -85,7 +88,10 @@ def orientations_from_patches(patches):
     N, S, _ = patches.shape
     if S not in _MOMENT_W:
         _MOMENT_W[S] = _moment_weights(S)
-    m = jnp.dot(patches.reshape(N, S * S), _MOMENT_W[S], preferred_element_type=jnp.float32)
+    m = jnp.dot(
+        patches.reshape(N, S * S), jnp.asarray(_MOMENT_W[S]),
+        preferred_element_type=jnp.float32,
+    )
     return jnp.arctan2(m[:, 1], m[:, 0])
 
 

@@ -49,3 +49,32 @@ def test_fused_stereo_inertial(chunk):
     gt_p, _ = world.gt_trajectory()
     ate = ate_rmse(ps, gt_p[: len(ps)])
     assert ate < 0.06, f"ATE {ate:.3f} m"
+
+
+def test_keyframe_capacity_guard():
+    """When the keyframe array fills up, insertion stops gracefully instead
+    of scattering out of bounds while counters advance."""
+    cfg = SyntheticConfig(
+        width=384, height=256, fx=240.0, fy=240.0, n_landmarks=400,
+        duration=2.0, cam_hz=10.0,
+    )
+    world = SyntheticWorld(cfg)
+    slam_cfg = SlamConfig(
+        orb=OrbConfig(n_features=256, n_levels=3),
+        cap=MapCapacity(max_kf=4, n_feat=256, max_mp=2048, max_obs=8),
+        track=TrackConfig(p_local=1024),
+        ba_points=512,
+        use_imu=False,
+        kf_max_frames=1,  # force a keyframe every frame
+    )
+    slam = FusedSlam(world.cam, slam_cfg)
+    times = world.frame_times()
+    for t in times:
+        left, right = world.render_frame(t)
+        slam.process_frame(left, right, np.zeros((0, 3)), np.zeros((0, 3)),
+                           np.zeros(0), float(t))
+    slam.flush()
+    assert int(slam.map.n_kf) <= 4
+    # tracking keeps running against the frozen map
+    modes = slam.modes()
+    assert (modes[-5:] != 0).all()
