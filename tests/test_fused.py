@@ -13,12 +13,14 @@ from orbslam3_tpu.models.tracker import TrackConfig
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("chunk", [1, 4])
-def test_fused_stereo_inertial(chunk):
+@pytest.mark.parametrize("chunk,imu_noise", [(1, False), (4, False), (1, True)])
+def test_fused_stereo_inertial(chunk, imu_noise):
     cfg = SyntheticConfig(
         width=384, height=256, fx=240.0, fy=240.0, n_landmarks=600,
         duration=4.0, cam_hz=10.0, pos_amp=(1.2, 0.8, 0.3),
         gyro_bias=(0.003, -0.002, 0.004),
+        accel_bias=(0.03, 0.02, -0.04) if imu_noise else (0.0, 0.0, 0.0),
+        imu_noise=imu_noise,
     )
     world = SyntheticWorld(cfg)
     slam_cfg = SlamConfig(
@@ -48,7 +50,8 @@ def test_fused_stereo_inertial(chunk):
     ts, ps, qs = slam.trajectory_arrays()
     gt_p, _ = world.gt_trajectory()
     ate = ate_rmse(ps, gt_p[: len(ps)])
-    assert ate < 0.06, f"ATE {ate:.3f} m"
+    limit = 0.08 if imu_noise else 0.06
+    assert ate < limit, f"ATE {ate:.3f} m"
 
 
 def test_keyframe_capacity_guard():

@@ -302,3 +302,36 @@ def test_cross_map_merge():
     for kid, p_true in zip(range(5, 8), poses1[:3]):
         err = np.linalg.norm(np.asarray(st.kf_p[kid]) - p_true)
         assert err < 0.1, (kid, np.asarray(st.kf_p[kid]), p_true, err)
+
+
+def test_dbow2_text_loader(tmp_path):
+    """Load a miniature DBoW2-format vocabulary (ORBvoc.txt layout: header
+    'k L s1 s2', then 'parent is_leaf 32-bytes weight' per node) and check
+    quantization agrees with the tree structure."""
+    k, L = 2, 2
+    rng = np.random.default_rng(7)
+    # build a tiny known tree: root(0) -> n1, n2 -> 4 leaves
+    descs = rng.integers(0, 256, (6, 32)).astype(np.uint8)
+    lines = [f"{k} {L} 0 0"]
+    # nodes 1,2 are children of 0; leaves 3,4 under 1; 5,6 under 2
+    parents = [0, 0, 1, 1, 2, 2]
+    weights = [0.0, 0.0, 0.5, 0.7, 0.9, 1.1]
+    for i, (p, wgt) in enumerate(zip(parents, weights)):
+        d = " ".join(str(int(x)) for x in descs[i])
+        is_leaf = 1 if i >= 2 else 0
+        lines.append(f"{p} {is_leaf} {d} {wgt}")
+    path = tmp_path / "voc.txt"
+    path.write_text("\n".join(lines) + "\n")
+
+    voc = vb.load_dbow2_text(str(path))
+    assert voc.k == 2 and voc.levels == 2
+    assert voc.n_leaves == 4
+    # a descriptor identical to a leaf's center must quantize into the
+    # subtree of its parent
+    q = vb.quantize(voc, jnp.asarray(descs[2:3]), jnp.ones(1, bool))
+    leaf = int(q[0])
+    assert 0 <= leaf < 4
+    # idf weights got carried over (leaf order may permute within parents)
+    np.testing.assert_allclose(
+        sorted(np.asarray(voc.idf).tolist()), [0.5, 0.7, 0.9, 1.1], atol=1e-6
+    )
