@@ -11,7 +11,6 @@ distortion -> original K -> source pixel. Lookup maps are (H, W) float32.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax

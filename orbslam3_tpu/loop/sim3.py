@@ -13,7 +13,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from orbslam3_tpu.geometry import quat, so3
+from orbslam3_tpu.geometry import quat
 from orbslam3_tpu.geometry.sim3 import Sim3
 from orbslam3_tpu.utils.precision import matmul_hp as mm
 

@@ -12,7 +12,6 @@ State machine (reference: tracking/state.rs, tracker.rs:232-292):
 """
 from __future__ import annotations
 
-import time as _time
 from typing import NamedTuple, Optional
 
 import jax

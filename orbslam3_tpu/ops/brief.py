@@ -14,7 +14,6 @@ Descriptors are bit-packed to (N, 32) uint8, plus an "unpacked" ±1 bf16 view
 """
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -27,7 +27,6 @@ import jax
 import jax.numpy as jnp
 
 from orbslam3_tpu.frontend.camera import Camera
-from orbslam3_tpu.geometry import quat
 from orbslam3_tpu.optim import robust
 from orbslam3_tpu.optim.pose_only import _retract, _visual_residual
 

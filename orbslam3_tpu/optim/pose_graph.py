@@ -20,7 +20,6 @@ import jax
 import jax.numpy as jnp
 
 from orbslam3_tpu.geometry.sim3 import Sim3
-from orbslam3_tpu.utils.precision import matmul_hp as mm
 
 
 class PoseGraphProblem(NamedTuple):

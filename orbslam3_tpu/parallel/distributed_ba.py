@@ -20,13 +20,12 @@ the map's keyframe-major (K, N) layout once, on host.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from orbslam3_tpu.frontend.camera import Camera
 from orbslam3_tpu.optim import robust
