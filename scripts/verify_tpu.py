@@ -1,39 +1,91 @@
-import jax, jax.numpy as jnp, numpy as np, time
-print("devices:", jax.devices(), flush=True)
-import orbslam3_tpu
-from orbslam3_tpu.geometry import quat, SE3, Sim3
-from orbslam3_tpu import imu as I
+"""End-to-end verification drive on the real TPU chip (the /verify recipe).
 
-w = np.array([0.4, 0.1, -0.3], np.float32)
-a_w = np.array([0.5, -0.2, 0.3], np.float32)
-G = np.array([0, 0, -9.81], np.float32)
-q0 = quat.from_axis_angle(jnp.asarray([0.2, -0.1, 0.3]))
-n, hz = 200, 200.0
-dt = 1.0/hz
-acc = []
-for i in range(n):
-    qt = quat.mul(q0, quat.from_axis_angle(jnp.asarray(w)*(i*dt + dt/2)))
-    Rt = np.asarray(quat.to_matrix(qt))
-    acc.append(Rt.T @ (a_w - G))
-acc = jnp.asarray(np.stack(acc)); gyro = jnp.tile(jnp.asarray(w), (n,1))
-dts = jnp.full((n,), dt); mask = jnp.ones((n,), bool)
+Covers, in order:
+  1. geometry + IMU library surface (precision on hardware),
+  2. a short full-pipeline FusedSlam run (frame in -> trajectory out),
+  3. the driver entry points (entry compile-check).
 
-f = jax.jit(lambda g,a,d,m: I.integrate(g,a,d,m,jnp.zeros(3),jnp.zeros(3)))
-t0=time.time(); st = jax.block_until_ready(f(gyro,acc,dts,mask)); t1=time.time()
-st = jax.block_until_ready(f(gyro,acc,dts,mask)); t2=time.time()
-print(f"preintegrate 200 samples on TPU: compile {t1-t0:.1f}s, steady {1e3*(t2-t1):.2f}ms", flush=True)
+Run from the repo root: `timeout 580 python scripts/verify_tpu.py`.
+"""
+import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-v0 = jnp.asarray([0.3,0.1,-0.2]); p0 = jnp.asarray([1.,2.,3.])
-qj, vj, pj = I.propagate(st, q0, v0, p0)
-v_true = v0 + jnp.asarray(a_w); p_true = p0 + v0 + 0.5*jnp.asarray(a_w)
-print("v err:", float(jnp.abs(vj-v_true).max()), " p err:", float(jnp.abs(pj-p_true).max()))
+import time
 
-T = SE3(quat.from_axis_angle(jnp.asarray([[0.3,-0.2,0.1]]*4)), jnp.asarray([[1.,2.,3.]]*4))
-r = T.compose(T.inverse())
-print("SE3 inv err:", float(jnp.abs(r.t).max()))
-xi = jnp.asarray(np.random.default_rng(1).normal(size=(8,7))*0.4, jnp.float32)
-g = jax.jit(lambda x: Sim3.exp(x).log())
-print("Sim3 exp/log err on TPU:", float(jnp.abs(g(xi)-xi).max()))
-rr = I.imu_residual(st, q0, v0, p0, qj, vj, pj, jnp.zeros(3), jnp.zeros(3))
-print("residual at truth:", float(jnp.abs(rr).max()))
-print("VERIFY_DONE")
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    print("devices:", jax.devices(), flush=True)
+
+    # ---- 1. library surface
+    from orbslam3_tpu.geometry import quat, SE3, Sim3
+    from orbslam3_tpu import imu as I
+
+    w = np.array([0.4, 0.1, -0.3], np.float32)
+    a_w = np.array([0.5, -0.2, 0.3], np.float32)
+    G = np.array([0, 0, -9.81], np.float32)
+    q0 = quat.from_axis_angle(jnp.asarray([0.2, -0.1, 0.3]))
+    n, dt = 200, 1.0 / 200.0
+    acc = []
+    for i in range(n):
+        qt = quat.mul(q0, quat.from_axis_angle(jnp.asarray(w) * (i * dt + dt / 2)))
+        Rt = np.asarray(quat.to_matrix(qt))
+        acc.append(Rt.T @ (a_w - G))
+    st = I.integrate(
+        jnp.tile(jnp.asarray(w), (n, 1)), jnp.asarray(np.stack(acc)),
+        jnp.full((n,), dt), jnp.ones((n,), bool), jnp.zeros(3), jnp.zeros(3),
+    )
+    v0 = jnp.asarray([0.3, 0.1, -0.2])
+    qj, vj, pj = I.propagate(st, q0, v0, jnp.zeros(3))
+    v_err = float(jnp.abs(vj - (v0 + jnp.asarray(a_w))).max())
+    print(f"preintegration v_err: {v_err:.2e}")
+    assert v_err < 1e-3
+
+    xi = jnp.asarray(np.random.default_rng(1).normal(size=(8, 7)) * 0.4, jnp.float32)
+    sim_err = float(jnp.abs(jax.jit(lambda x: Sim3.exp(x).log())(xi) - xi).max())
+    print(f"Sim3 exp/log err: {sim_err:.2e}")
+    assert sim_err < 1e-4
+
+    # ---- 2. short full-pipeline run
+    from orbslam3_tpu.eval.metrics import ate_rmse
+    from orbslam3_tpu.io.synthetic import SyntheticConfig, SyntheticWorld
+    from orbslam3_tpu.models.fused import FusedSlam
+    from orbslam3_tpu.models.slam import SlamConfig
+
+    world = SyntheticWorld(SyntheticConfig(duration=2.0, n_landmarks=1200))
+    slam = FusedSlam(world.cam, SlamConfig(kf_max_frames=4))
+    times = world.frame_times()
+    t0 = time.perf_counter()
+    for i, t in enumerate(times):
+        left, right = world.render_frame(t)
+        tp = times[i - 1] if i else t
+        g, a, d = world.imu_window(tp, t)
+        slam.process_frame(left.astype(np.uint8), right.astype(np.uint8), g, a, d, float(t))
+    slam.flush()
+    jax.block_until_ready(slam.ts.q)
+    el = time.perf_counter() - t0
+    ts, ps, qs = slam.trajectory_arrays()
+    gt_p, _ = world.gt_trajectory()
+    ate = ate_rmse(ps, gt_p[: len(ps)])
+    print(f"pipeline: {len(times)} frames in {el:.1f}s, ATE {ate:.4f} m, "
+          f"{int(slam.map.n_kf)} KFs")
+    assert ate < 0.1
+    assert not np.isnan(ps).any()
+
+    # ---- 3. driver entry
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    print("entry() OK")
+    print("VERIFY_DONE")
+
+
+if __name__ == "__main__":
+    main()
