@@ -305,6 +305,24 @@ class SlamSystem:
             self.q = self.map.kf_q[kf_id]
             self.p = self.map.kf_p[kf_id]
 
+        # multi-view triangulation + duplicate fusion + keyframe culling
+        # (reference local-mapping steps 3b/3c + cull)
+        if cfg.triangulate_mono and int(self.map.n_kf) >= 2:
+            from orbslam3_tpu.map.triangulation import triangulate_with_neighbor
+
+            self.map, _ = triangulate_with_neighbor(self.map, jnp.int32(kf_id), self.cam)
+        if cfg.fuse_neighbors and int(self.map.n_kf) >= 3:
+            from orbslam3_tpu.map.mapping_ops import fuse_map_points
+
+            self.map = fuse_map_points(self.map, jnp.int32(kf_id), self.cam)
+        if cfg.kf_cull_redundancy > 0 and int(kf_id) >= 6 and int(kf_id) % 3 == 0:
+            from orbslam3_tpu.map.mapping_ops import keyframe_redundancy, remove_keyframe
+
+            cand = jnp.int32(int(kf_id) - 4)
+            if int(cand) > 0 and bool(self.map.kf_valid[cand]):
+                if float(keyframe_redundancy(self.map, cand)) > cfg.kf_cull_redundancy:
+                    self.map = remove_keyframe(self.map, cand)
+
         self.kfs_since_cull += 1
         if self.kfs_since_cull >= cfg.cull_every_kfs:
             self.map = cull_map_points(self.map)

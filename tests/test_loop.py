@@ -335,3 +335,41 @@ def test_dbow2_text_loader(tmp_path):
     np.testing.assert_allclose(
         sorted(np.asarray(voc.idf).tolist()), [0.5, 0.7, 0.9, 1.1], atol=1e-6
     )
+
+
+class TestScaleEstimation:
+    def test_horn_with_scale(self):
+        """fix_scale=False recovers a non-unit similarity scale (the mono
+        loop-closing case; stereo uses fix_scale=True)."""
+        pa = jnp.asarray(RNG.uniform(-2, 2, (40, 3)), jnp.float32)
+        S_true = Sim3(
+            quat.from_axis_angle(jnp.asarray([0.2, -0.1, 0.3])),
+            jnp.asarray([0.5, -0.3, 1.0]),
+            jnp.asarray(1.35),
+        )
+        pb = S_true.apply(pa)
+        S = horn_weighted(pa, pb, jnp.ones(40), fix_scale=False)
+        assert abs(float(S.s) - 1.35) < 0.01
+        np.testing.assert_allclose(np.asarray(S.t), np.asarray(S_true.t), atol=0.02)
+
+    def test_pose_graph_free_scale(self):
+        """fix_scale=False lets nodes absorb scale drift through sigma."""
+        K = 6
+        p = np.stack([np.linspace(0, 2.0, K), np.zeros(K), np.zeros(K)], -1).astype(np.float32)
+        qs = np.tile(np.array([1.0, 0, 0, 0], np.float32), (K, 1))
+        nodes = Sim3(jnp.asarray(qs), jnp.asarray(p), jnp.ones(K))
+        # measurements say consecutive steps are 1.2x longer than estimated
+        step = np.array([0.4 * 1.2, 0, 0], np.float32)
+        e_i = jnp.arange(K - 1, dtype=jnp.int32)
+        e_j = e_i + 1
+        metas = [Sim3(jnp.asarray([1.0, 0, 0, 0]), jnp.asarray(step), jnp.ones(()))] * (K - 1)
+        e_meas = jax.tree.map(lambda *xs: jnp.stack(xs), *metas)
+        prob = PoseGraphProblem(
+            nodes=nodes, node_valid=jnp.ones(K, bool),
+            node_fixed=jnp.zeros(K, bool).at[0].set(True),
+            e_i=e_i, e_j=e_j, e_meas=e_meas,
+            e_weight=jnp.ones(K - 1), e_valid=jnp.ones(K - 1, bool),
+        )
+        out, _ = solve_pose_graph(prob, iters=15, fix_scale=False)
+        # final node pulled out to ~2.4 (5 steps x 0.48)
+        assert abs(float(out.t[-1, 0]) - 2.4) < 0.05, np.asarray(out.t)
