@@ -164,13 +164,17 @@ def associate_batch(st: MapState, kf_id, feat_idx, mp_idx, valid):
     (reference: map.rs:339-453 associate + covisibility bookkeeping)
     """
     B = feat_idx.shape[0]
-    O = st.mp_obs_kf.shape[1]
-    f_safe = jnp.where(valid, feat_idx, 0)
+    M, O = st.mp_obs_kf.shape
+    N = st.kf_mp.shape[1]
     m_safe = jnp.where(valid, mp_idx, 0)
 
+    # Invalid lanes are routed OUT OF BOUNDS and dropped: writing back the
+    # old value at a clipped index 0 instead would race nondeterministically
+    # with a genuine update of slot 0 in the same scatter (XLA scatter order
+    # for duplicate indices is unspecified).
     # 1. kf_mp[kf, feat] = mp
-    row = st.kf_mp[kf_id]
-    row = row.at[f_safe].set(jnp.where(valid, m_safe, row[f_safe]))
+    f_drop = jnp.where(valid, feat_idx, N)
+    row = st.kf_mp[kf_id].at[f_drop].set(mp_idx, mode="drop")
     kf_mp = st.kf_mp.at[kf_id].set(row)
 
     # 2. covisibility: +1 with every current observer of each mp
@@ -187,13 +191,10 @@ def associate_batch(st: MapState, kf_id, feat_idx, mp_idx, valid):
     slot = jnp.argmax(rows < 0, axis=1).astype(jnp.int32)
     can = valid & has_hole
     slot_safe = jnp.clip(slot, 0, O - 1)
-    mp_obs_kf = st.mp_obs_kf.at[m_safe, slot_safe].set(
-        jnp.where(can, kf_id, st.mp_obs_kf[m_safe, slot_safe])
-    )
-    mp_obs_feat = st.mp_obs_feat.at[m_safe, slot_safe].set(
-        jnp.where(can, f_safe, st.mp_obs_feat[m_safe, slot_safe])
-    )
-    mp_obs_n = st.mp_obs_n.at[m_safe].add(can.astype(jnp.int32))
+    m_drop = jnp.where(can, mp_idx, M)
+    mp_obs_kf = st.mp_obs_kf.at[m_drop, slot_safe].set(kf_id, mode="drop")
+    mp_obs_feat = st.mp_obs_feat.at[m_drop, slot_safe].set(feat_idx, mode="drop")
+    mp_obs_n = st.mp_obs_n.at[m_drop].add(1, mode="drop")
 
     return st._replace(
         kf_mp=kf_mp, covis=covis, mp_obs_kf=mp_obs_kf, mp_obs_feat=mp_obs_feat, mp_obs_n=mp_obs_n

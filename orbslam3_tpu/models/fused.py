@@ -388,7 +388,9 @@ def _slam_step_core(st: sm.MapState, ts: TrackState, left_u8, right_u8,
         q=q_new,
         p=p_new,
         v=v_new,
-        mode=jnp.where(want_init, MODE_OK, mode).astype(jnp.int32),
+        # want_init only flips to OK when the anchor keyframe actually went
+        # in (has_room); otherwise we'd track against a map with no keyframe
+        mode=jnp.where(want_init & has_room, MODE_OK, mode).astype(jnp.int32),
         lost_since=lost_since,
         last_t=t,
     )

@@ -234,7 +234,7 @@ class SlamSystem:
         # ---- keyframe decision
         is_kf = self.state == "Ok" and self._keyframe_decision(n_inl)
         if is_kf:
-            self._insert_keyframe(sf, t, matched)
+            is_kf = self._insert_keyframe(sf, t, matched)
 
         res = FrameResult(t, np.asarray(self.q), np.asarray(self.p), n_matches,
                           n_inl, self.state, is_kf)
@@ -268,8 +268,14 @@ class SlamSystem:
         d = np.concatenate(self._kf_dts)
         return self._integrate_window(g, a, d, self.cfg.max_imu_per_kf)
 
-    def _insert_keyframe(self, sf: StereoFrame, t, matched):
+    def _insert_keyframe(self, sf: StereoFrame, t, matched) -> bool:
         cfg = self.cfg
+        # capacity guard (mirrors fused.py's has_room): past max_kf the
+        # clip-mode scatters in insert_keyframe would silently overwrite the
+        # last row while n_kf keeps advancing, corrupting covisibility and
+        # the kf_prev chain
+        if int(self.map.n_kf) >= cfg.cap.max_kf:
+            return False
         preint = self._kf_preint_state()
         self.map, kf_id = insert_keyframe(
             self.map,
@@ -336,6 +342,7 @@ class SlamSystem:
             and int(self.map.n_kf) >= cfg.imu_init_kfs
         ):
             self._try_imu_init()
+        return True
 
     def _try_imu_init(self):
         """Gravity/velocity/bias initialization once enough keyframes exist.
@@ -407,7 +414,11 @@ class SlamSystem:
             return FrameResult(t, np.asarray(self.q), np.asarray(self.p), 0, 0,
                                "NotInitialized", False)
         matched = jnp.full((sf.feat.uv.shape[0],), -1, jnp.int32)
-        self._insert_keyframe(sf, t, matched)
+        if not self._insert_keyframe(sf, t, matched):
+            # keyframe array full: stay uninitialized rather than flip to Ok
+            # on a map that never received its anchor keyframe
+            return FrameResult(t, np.asarray(self.q), np.asarray(self.p), 0, 0,
+                               "NotInitialized", False)
         self.state = "Ok"
         self.lost_since = None
         self.ref_inliers = n_stereo

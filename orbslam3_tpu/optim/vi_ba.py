@@ -114,7 +114,9 @@ def solve_vi_ba(prob: VIBAProblem, cam: Camera, iters: int = 8,
         r9 = pre.imu_residual(
             st, qi, vi, pi, qj, vj, pj, bgi, bai, gravity=prob.gravity_w
         )
-        return mm(L, r9)
+        # info = L @ L.T, so the whitened residual is L.T @ r (then
+        # ||w||^2 = r^T L L^T r = r^T info r) — matches pose_only.py
+        return mm(L.T, r9)
 
     def bias_edge(xi_i, xi_j, c, bg, ba):
         i = jnp.clip(c - 1, 0, C - 1)
