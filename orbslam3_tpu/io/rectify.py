@@ -109,6 +109,43 @@ def stereo_rectify_maps(K0, d0, T_BS0, K1, d1, T_BS1, size) -> RectifyMaps:
     return RectifyMaps(mx0, my0, mx1, my1, K_new, baseline, R_rect0, R_rect1)
 
 
+def body_from_rect_cam(T_BS0, R_rect0):
+    """T_BC for the RECTIFIED left camera: (q_bc wxyz, p_bc) numpy.
+
+    The rectified camera shares cam0's optical center but its frame is
+    rotated by R_rect0 (rect-from-cam0), so
+    T_B_rect = T_BS0 ∘ [R_rect0^T, 0] (reference loads the raw T_BS at
+    euroc.rs:314-359 and never rectifies; here the extrinsic must account
+    for the rectifying rotation)."""
+    R = T_BS0[:3, :3] @ R_rect0.T
+    t = T_BS0[:3, 3]
+    # Shepperd matrix->quat (robust for arbitrary rotations)
+    w2 = 1.0 + R[0, 0] + R[1, 1] + R[2, 2]
+    x2 = 1.0 + R[0, 0] - R[1, 1] - R[2, 2]
+    y2 = 1.0 - R[0, 0] + R[1, 1] - R[2, 2]
+    z2 = 1.0 - R[0, 0] - R[1, 1] + R[2, 2]
+    m = max(w2, x2, y2, z2)
+    if m == w2:
+        w = 0.5 * np.sqrt(w2)
+        q = [w, (R[2, 1] - R[1, 2]) / (4 * w), (R[0, 2] - R[2, 0]) / (4 * w),
+             (R[1, 0] - R[0, 1]) / (4 * w)]
+    elif m == x2:
+        x = 0.5 * np.sqrt(x2)
+        q = [(R[2, 1] - R[1, 2]) / (4 * x), x, (R[0, 1] + R[1, 0]) / (4 * x),
+             (R[0, 2] + R[2, 0]) / (4 * x)]
+    elif m == y2:
+        y = 0.5 * np.sqrt(y2)
+        q = [(R[0, 2] - R[2, 0]) / (4 * y), (R[0, 1] + R[1, 0]) / (4 * y), y,
+             (R[1, 2] + R[2, 1]) / (4 * y)]
+    else:
+        z = 0.5 * np.sqrt(z2)
+        q = [(R[1, 0] - R[0, 1]) / (4 * z), (R[0, 2] + R[2, 0]) / (4 * z),
+             (R[1, 2] + R[2, 1]) / (4 * z), z]
+    q = np.asarray(q, np.float64)
+    q = q / np.linalg.norm(q)
+    return q.astype(np.float32), t.astype(np.float32)
+
+
 @jax.jit
 def remap_bilinear(img, map_x, map_y):
     """Bilinear resampling: out[v,u] = img[map_y[v,u], map_x[v,u]]."""

@@ -99,6 +99,39 @@ class SyntheticConfig(NamedTuple):
     imu_noise: bool = False  # add sensor noise to IMU samples
     gyro_bias: tuple = (0.0, 0.0, 0.0)
     accel_bias: tuple = (0.0, 0.0, 0.0)
+    # T_BC: camera pose in the body (IMU) frame, wxyz quaternion + offset.
+    # Identity = body == left camera (the pre-extrinsics setup). Set to a
+    # EuRoC-like transform (euroc_t_bc()) to exercise the full extrinsics
+    # path: IMU samples stay body-frame, cameras render at T_wb ∘ T_BC.
+    q_bc: tuple = (1.0, 0.0, 0.0, 0.0)
+    p_bc: tuple = (0.0, 0.0, 0.0)
+
+
+def euroc_t_bc():
+    """EuRoC MH cam0 T_BS (body-from-cam) as (q_bc wxyz, p_bc) — the real
+    sensor.yaml values (reference: euroc.rs:314-359 loads this matrix; its
+    rotation is ~90°+ — the case VERDICT flagged as untested)."""
+    T = np.array(
+        [
+            [0.0148655429818, -0.999880929698, 0.00414029679422, -0.0216401454975],
+            [0.999557249008, 0.0149672133247, 0.025715529948, -0.064676986768],
+            [-0.0257744366974, 0.00375618835797, 0.999660727178, 0.00981073058949],
+            [0.0, 0.0, 0.0, 1.0],
+        ]
+    )
+    R = T[:3, :3]
+    w = np.sqrt(max(1.0 + np.trace(R), 0.0)) / 2.0
+    q = _qnorm(
+        np.array(
+            [
+                w,
+                (R[2, 1] - R[1, 2]) / (4 * w),
+                (R[0, 2] - R[2, 0]) / (4 * w),
+                (R[1, 0] - R[0, 1]) / (4 * w),
+            ]
+        )
+    )
+    return tuple(q), tuple(T[:3, 3])
 
 
 class SyntheticWorld:
@@ -106,9 +139,16 @@ class SyntheticWorld:
 
     def __init__(self, cfg: SyntheticConfig = SyntheticConfig()):
         self.cfg = cfg
+        self._q_bc = _qnorm(np.asarray(cfg.q_bc, np.float64))
+        self._p_bc = np.asarray(cfg.p_bc, np.float64)
+        self._has_tbc = not (
+            np.allclose(self._q_bc, [1.0, 0, 0, 0]) and np.allclose(self._p_bc, 0.0)
+        )
         self.cam = Camera.create(
             cfg.fx, cfg.fy, cfg.width / 2.0, cfg.height / 2.0, cfg.baseline,
             cfg.width, cfg.height,
+            q_bc=self._q_bc.astype(np.float32) if self._has_tbc else None,
+            p_bc=self._p_bc.astype(np.float32) if self._has_tbc else None,
         )
         rng = np.random.default_rng(cfg.seed)
         self.landmarks = self._make_landmarks(rng)  # (L, 3) world
@@ -225,13 +265,16 @@ class SyntheticWorld:
 
     # ---------------- rendering ----------------
     def render_frame(self, t: float):
-        """Render the stereo pair at time t -> (left, right) (H, W) f32."""
+        """Render the stereo pair at time t -> (left, right) (H, W) f32.
+
+        Cameras sit at T_wb ∘ T_BC (left) and a baseline offset along the
+        camera x-axis (right); gt_pose/imu_sample stay body-frame."""
         q, p = self.gt_pose(t)
-        left = self._render_cam(q, p)
-        p_r = p + _qrot(q.astype(np.float64), np.array([self.cfg.baseline, 0.0, 0.0])).astype(
-            np.float32
-        )
-        right = self._render_cam(q, p_r)
+        qc = _qnorm(_qmul(q.astype(np.float64), self._q_bc))
+        pc = p.astype(np.float64) + _qrot(q.astype(np.float64), self._p_bc)
+        left = self._render_cam(qc.astype(np.float32), pc.astype(np.float32))
+        p_r = (pc + _qrot(qc, np.array([self.cfg.baseline, 0.0, 0.0]))).astype(np.float32)
+        right = self._render_cam(qc.astype(np.float32), p_r)
         return left, right
 
     def _render_cam(self, q_wb, p_w):

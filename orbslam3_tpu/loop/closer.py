@@ -103,6 +103,26 @@ class LoopCloser:
             K = st.kf_valid.shape[0]
             self.bow = jnp.zeros((K, self.vocab.n_leaves), jnp.float32)
 
+    def remap_rows(self, kf_old_to_new):
+        """Re-index per-keyframe host state after map compaction
+        (map/compaction.py). kf_old_to_new: (K,) int, -1 = row removed."""
+        km = np.asarray(kf_old_to_new)
+        if self.bow is not None:
+            old_rows = np.nonzero(km >= 0)[0]
+            new = jnp.zeros_like(self.bow)
+            if len(old_rows):
+                new = new.at[jnp.asarray(km[old_rows])].set(
+                    self.bow[jnp.asarray(old_rows)]
+                )
+            self.bow = new
+        # consistency history holds old row ids; dropping it only delays a
+        # detection by `consistency_needed` keyframes
+        self._consistency_groups.clear()
+        if 0 <= self.last_loop_kf < len(km) and km[self.last_loop_kf] >= 0:
+            self.last_loop_kf = int(km[self.last_loop_kf])
+        elif self.last_loop_kf >= 0:
+            self.last_loop_kf = -100
+
     def on_keyframe(self, st: MapState, kf_id: int, cam: Camera):
         """Process a new keyframe. Returns (MapState, corrected: bool)."""
         cfg = self.cfg

@@ -60,7 +60,7 @@ def fuse_map_points(st: MapState, kf_id, cam: Camera, window: int = 6,
     for w in range(1, window):
         n_id = ids[w]
         n_ok = valid_w[w]
-        qn, pn = st.kf_q[n_id], st.kf_p[n_id]
+        qn, pn = cam.body_to_cam_pose(st.kf_q[n_id], st.kf_p[n_id])
         xc = quat.rotate(quat.conj(qn)[None], X - pn[None])
         z = xc[:, 2]
         proj = cam.project(xc)

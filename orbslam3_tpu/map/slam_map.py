@@ -215,7 +215,7 @@ def insert_keyframe(
     depth,
     octave,
     desc,
-    points_cam,
+    points_body,
     feat_valid,
     matched_mp,
     preint: PreintState,
@@ -228,8 +228,9 @@ def insert_keyframe(
     (reference: tracker.rs:748-806 initialize_map + local_mapper.rs:167-259
     insert + associate + triangulate_new_points, fused into one program)
 
-    Args mirror the stereo frame: points_cam (N, 3) are camera-frame points
-    (valid where depth > 0). Returns (MapState, kf_id).
+    Args mirror the stereo frame: points_body (N, 3) are BODY-frame points
+    (camera points with T_BC already applied by the caller; valid where
+    depth > 0). Returns (MapState, kf_id).
     """
     N = uv.shape[0]
     k = st.n_kf
@@ -270,7 +271,7 @@ def insert_keyframe(
     ids_safe = jnp.where(sel_ok, new_ids, 0)
 
     # world positions + viewing geometry
-    pw = quat.rotate(q_wb[None], points_cam[sel]) + p_w[None]
+    pw = quat.rotate(q_wb[None], points_body[sel]) + p_w[None]
     view = pw - p_w[None]
     dist = jnp.linalg.norm(view, axis=-1).clip(1e-6)
     normal = view / dist[:, None]

@@ -29,10 +29,10 @@ from orbslam3_tpu.map.slam_map import (
 from orbslam3_tpu.ops.hamming import hamming_matrix
 
 
-def _projection_matrix(cam: Camera, q_wb, p_w):
-    """3x4 world->pixel projection for a body(=camera) pose."""
-    R = quat.to_matrix(quat.conj(q_wb))  # world -> cam rotation
-    t = -R @ p_w
+def _projection_matrix(cam: Camera, q_wc, p_wc):
+    """3x4 world->pixel projection for a CAMERA pose (T_BC already applied)."""
+    R = quat.to_matrix(quat.conj(q_wc))  # world -> cam rotation
+    t = -R @ p_wc
     K = jnp.asarray(
         [[cam.fx, 0.0, cam.cx], [0.0, cam.fy, cam.cy], [0.0, 0.0, 1.0]]
     )
@@ -65,15 +65,18 @@ def triangulate_with_neighbor(
     chi2_max: float = 5.991,
     min_parallax_cos: float = 0.9998,
 ):
-    """Triangulate new points between kf_id and its best covisible neighbor."""
+    """Triangulate new points between kf_id and its best covisible neighbor.
+
+    q1/p1, q2/p2 below are CAMERA poses (T_BC composed once up front); every
+    downstream transform here is camera-frame geometry."""
     M = st.mp_pos.shape[0]
     K, N = st.kf_mp.shape
     ids, valid_w = local_window(st, kf_id, 2)
     n_id = ids[1]
     pair_ok = valid_w[1]
 
-    q1, p1 = st.kf_q[kf_id], st.kf_p[kf_id]
-    q2, p2 = st.kf_q[n_id], st.kf_p[n_id]
+    q1, p1 = cam.body_to_cam_pose(st.kf_q[kf_id], st.kf_p[kf_id])
+    q2, p2 = cam.body_to_cam_pose(st.kf_q[n_id], st.kf_p[n_id])
     baseline = jnp.linalg.norm(p2 - p1)
 
     # candidates: features without a map point on both sides

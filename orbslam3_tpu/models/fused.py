@@ -154,7 +154,11 @@ def _slam_step_core(st: sm.MapState, ts: TrackState, left_u8, right_u8,
     featL = detect_orb(left, cfg.orb)
     featR = detect_orb(right, cfg.orb)
     u_r, depth, has_depth = match_stereo(featL, featR, cam, cfg.stereo)
-    points_cam = cam.unproject(featL.uv, jnp.where(has_depth, depth, 1.0))
+    # body-frame 3D points: states are body poses, so map points spawn as
+    # R_wb (T_BC ∘ X_cam) + p_wb inside insert_keyframe
+    points_body = cam.cam_pts_to_body(
+        cam.unproject(featL.uv, jnp.where(has_depth, depth, 1.0))
+    )
     N = featL.uv.shape[0]
 
     # ---------------- IMU
@@ -275,7 +279,7 @@ def _slam_step_core(st: sm.MapState, ts: TrackState, left_u8, right_u8,
         st_, ts_ = op
         st_, kf_id = sm.insert_keyframe(
             st_, t, q_new, p_new, v_new, ts_.bg, ts_.ba,
-            featL.uv, u_r, depth, featL.octave, featL.desc, points_cam,
+            featL.uv, u_r, depth, featL.octave, featL.desc, points_body,
             featL.valid, matched_for_insert, ts_.kf_preint,
             jnp.where(want_init, -1, ts_.last_kf),
             new_mp_budget=cfg.new_mp_budget,
@@ -452,6 +456,12 @@ class FusedSlam:
         self._frames = 0
         self._imu_buffer_edges = []
         self.imu_initialized = False
+        # host-side UPPER BOUNDS on row usage (incremented without device
+        # syncs; resynced to true counts whenever a sync happens anyway).
+        # Compaction triggers on the bound crossing the capacity margin.
+        self._kf_ub = 0
+        self._mp_ub = 0
+        self.compactions = 0
         self.loop_closer = None
         if vocabulary is not None:
             from orbslam3_tpu.loop.closer import LoopCloser
@@ -491,17 +501,55 @@ class FusedSlam:
             )
             self.outs.append((t, out))
         self._frames += 1
+        # worst-case rows a frame can add (1 KF; budget stereo spawns +
+        # triangulated mono points)
+        self._kf_ub += 1
+        self._mp_ub += self.cfg.new_mp_budget + 128
         # host services force a pipeline sync; skip them entirely once
         # nothing host-side remains to do (IMU initialized, no loop closer)
         need_services = (
             self.loop_closer is not None
             or (self.cfg.use_imu and not self.imu_initialized)
+            or self._compact_due()
         )
         if need_services and self._frames % self.service_every == 0:
             if self._pending:
                 self.flush()
             self._host_services()
         return out
+
+    def _compact_due(self) -> bool:
+        cap = self.cfg.cap
+        return (
+            self._kf_ub >= cap.max_kf - 4
+            or self._mp_ub >= cap.max_mp - 2 * self.cfg.new_mp_budget
+        )
+
+    def _maybe_compact(self):
+        """Reclaim culled rows when capacity nears exhaustion (the SoA
+        analog of the reference's unbounded map — map.rs:30-41). Runs as a
+        host service: one extra dispatch, only near the capacity ceiling."""
+        import numpy as np
+
+        from orbslam3_tpu.map.compaction import compact_map
+
+        if not self._compact_due():
+            return
+        n_kf, n_mp = int(self.map.n_kf), int(self.map.n_mp)
+        cap = self.cfg.cap
+        if n_kf >= cap.max_kf - 4 or n_mp >= cap.max_mp - 2 * self.cfg.new_mp_budget:
+            self.map, kf_map, _mp_map = compact_map(self.map)
+            km = np.asarray(kf_map)
+            lk = int(self.ts.last_kf)
+            new_lk = int(km[lk]) if 0 <= lk < len(km) else -1
+            self.ts = self.ts._replace(last_kf=jnp.int32(max(new_lk, 0)))
+            if self.loop_closer is not None:
+                self.loop_closer.remap_rows(km)
+            self._n_kf_seen = int(self.map.n_kf)
+            self.compactions += 1
+        # resync bounds to the true (possibly just-compacted) counts
+        self._kf_ub = int(self.map.n_kf)
+        self._mp_ub = int(self.map.n_mp)
 
     def flush(self):
         """Dispatch any buffered frames as one chunked device call."""
@@ -540,6 +588,7 @@ class FusedSlam:
                     self.map, k, self.cam
                 )
             self._n_kf_seen += 1
+        self._maybe_compact()
 
     def _per_keyframe_services(self, k):
         """Host-side per-keyframe work. Map maintenance (triangulation,

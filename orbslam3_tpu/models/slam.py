@@ -270,6 +270,17 @@ class SlamSystem:
 
     def _insert_keyframe(self, sf: StereoFrame, t, matched) -> bool:
         cfg = self.cfg
+        # near capacity: compact culled rows back into the free pool
+        # (reference map is unbounded, map.rs:30-41; see map/compaction.py)
+        if (
+            int(self.map.n_kf) >= cfg.cap.max_kf
+            or int(self.map.n_mp) >= cfg.cap.max_mp - cfg.new_mp_budget
+        ):
+            from orbslam3_tpu.map.compaction import compact_map
+
+            self.map, kf_map, _ = compact_map(self.map)
+            if self.last_kf_id >= 0:
+                self.last_kf_id = int(kf_map[self.last_kf_id])
         # capacity guard (mirrors fused.py's has_room): past max_kf the
         # clip-mode scatters in insert_keyframe would silently overwrite the
         # last row while n_kf keeps advancing, corrupting covisibility and
@@ -290,7 +301,7 @@ class SlamSystem:
             sf.depth,
             sf.feat.octave,
             sf.feat.desc,
-            sf.points_cam,
+            self.cam.cam_pts_to_body(sf.points_cam),
             sf.feat.valid,
             matched,
             preint,

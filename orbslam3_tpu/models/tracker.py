@@ -61,8 +61,9 @@ def match_local_map(
     N = uv.shape[0]
 
     in_map = st.mp_valid & (st.mp_map_id == st.active_map)
-    rel = st.mp_pos - p_pred[None]
-    xc = quat.rotate(quat.conj(q_pred)[None], rel)
+    q_wc, p_wc = cam.body_to_cam_pose(q_pred, p_pred)
+    rel = st.mp_pos - p_wc[None]
+    xc = quat.rotate(quat.conj(q_wc)[None], rel)
     z = xc[:, 2]
     proj = cam.project(xc)
     dist = jnp.linalg.norm(rel, axis=-1)

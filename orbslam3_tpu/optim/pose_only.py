@@ -34,10 +34,14 @@ def _retract(q, p, xi):
 
 
 def _visual_residual(xi, q0, p0, cam: Camera, Xw, uv, ur):
-    """Single-observation stereo reprojection residual (3,). ur < 0 => mono."""
+    """Single-observation stereo reprojection residual (3,). ur < 0 => mono.
+
+    (q0, p0) is the BODY pose; T_BC from `cam` maps into the camera frame
+    (reference: frames.rs:159-312 — identity fast path when cam.q_bc is
+    None, matching the reference's camera==body synthetic setups)."""
     q, p = _retract(q0, p0, xi)
-    # world -> camera(=body) frame
-    Xc = quat.rotate(quat.conj(q), Xw - p)
+    q_wc, p_wc = cam.body_to_cam_pose(q, p)
+    Xc = quat.rotate(quat.conj(q_wc), Xw - p_wc)
     z = jnp.maximum(Xc[2], 1e-3)
     u_hat = cam.fx * Xc[0] / z + cam.cx
     v_hat = cam.fy * Xc[1] / z + cam.cy

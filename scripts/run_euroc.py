@@ -39,7 +39,11 @@ def main():
 
     import jax.numpy as jnp
 
-    from orbslam3_tpu.io.rectify import remap_bilinear, stereo_rectify_maps
+    from orbslam3_tpu.io.rectify import (
+        body_from_rect_cam,
+        remap_bilinear,
+        stereo_rectify_maps,
+    )
 
     w, h = ds.cam0.resolution
     maps = stereo_rectify_maps(
@@ -47,7 +51,11 @@ def main():
         ds.cam1.K, ds.cam1.dist, ds.cam1.T_BS, (w, h),
     )
     Kn = maps.K_new
-    cam = Camera.create(Kn[0, 0], Kn[1, 1], Kn[0, 2], Kn[1, 2], maps.baseline, w, h)
+    # body-IMU extrinsics for the rectified camera: states stay body-frame,
+    # raw body-frame IMU feeds the pipeline directly
+    q_bc, p_bc = body_from_rect_cam(ds.cam0.T_BS, maps.R_rect0)
+    cam = Camera.create(Kn[0, 0], Kn[1, 1], Kn[0, 2], Kn[1, 2], maps.baseline, w, h,
+                        q_bc=q_bc, p_bc=p_bc)
     slam = FusedSlam(cam, SlamConfig(kf_max_frames=6))
     mx0, my0 = jnp.asarray(maps.map_x0), jnp.asarray(maps.map_y0)
     mx1, my1 = jnp.asarray(maps.map_x1), jnp.asarray(maps.map_y1)

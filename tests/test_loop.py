@@ -170,7 +170,7 @@ def build_revisit_map(drift=np.array([0.4, 0.0, 0.2], np.float32)):
             vel=jnp.zeros(3), bias_g=jnp.zeros(3), bias_a=jnp.zeros(3),
             uv=jnp.asarray(uv_full), u_right=jnp.full((n,), -1.0),
             depth=jnp.asarray(depth), octave=jnp.zeros((n,), jnp.int32),
-            desc=jnp.asarray(desc), points_cam=jnp.asarray(pts),
+            desc=jnp.asarray(desc), points_body=jnp.asarray(pts),
             feat_valid=jnp.asarray(fv), matched_mp=jnp.asarray(mm_),
             preint=PreintState.identity(), prev_kf=jnp.int32(-1),
         )
@@ -256,7 +256,7 @@ def test_cross_map_merge():
             depth=jnp.full((n,), -1.0).at[:L].set(jnp.asarray(z)),
             octave=jnp.zeros((n,), jnp.int32),
             desc=jnp.zeros((n, 32), jnp.uint8).at[:L].set(jnp.asarray(lm_desc)),
-            points_cam=jnp.zeros((n, 3)).at[:L].set(jnp.asarray(xc)),
+            points_body=jnp.zeros((n, 3)).at[:L].set(jnp.asarray(xc)),
             feat_valid=jnp.zeros((n,), bool).at[:L].set(True),
             matched_mp=jnp.asarray(mm_),
             preint=PreintState.identity(),

@@ -42,7 +42,7 @@ def make_kf_inputs(n_feat=32, n_depth=16, matched=None, seed=0):
         depth=depth,
         octave=jnp.zeros((n_feat,), jnp.int32),
         desc=jnp.asarray(rng.integers(0, 255, (n_feat, 32)), jnp.uint8),
-        points_cam=pts,
+        points_body=pts,
         feat_valid=jnp.ones((n_feat,), bool),
         matched_mp=m,
         preint=PreintState.identity(),

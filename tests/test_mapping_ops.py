@@ -42,7 +42,7 @@ def make_two_kf_map_with_duplicates():
             depth=jnp.full((n,), -1.0).at[:L].set(jnp.asarray(z)),
             octave=jnp.zeros((n,), jnp.int32),
             desc=jnp.zeros((n, 32), jnp.uint8).at[:L].set(jnp.asarray(desc)),
-            points_cam=jnp.zeros((n, 3)).at[:L].set(jnp.asarray(xc)),
+            points_body=jnp.zeros((n, 3)).at[:L].set(jnp.asarray(xc)),
             feat_valid=jnp.zeros((n,), bool).at[:L].set(True),
             matched_mp=jnp.full((n,), -1, jnp.int32),
             preint=PreintState.identity(),
@@ -93,7 +93,7 @@ class TestKeyframeCull:
             bias_g=z3, bias_a=z3, uv=jnp.zeros((64, 2)),
             u_right=jnp.full((64,), -1.0), depth=jnp.full((64,), -1.0),
             octave=jnp.zeros((64,), jnp.int32),
-            desc=jnp.zeros((64, 32), jnp.uint8), points_cam=jnp.zeros((64, 3)),
+            desc=jnp.zeros((64, 32), jnp.uint8), points_body=jnp.zeros((64, 3)),
             feat_valid=jnp.zeros((64,), bool),
             matched_mp=jnp.full((64,), -1, jnp.int32),
             prev_kf=jnp.int32(prev),

@@ -52,7 +52,7 @@ def test_triangulate_creates_mono_points():
             depth=jnp.full((n,), -1.0),  # NO stereo depth -> mono
             octave=jnp.zeros((n,), jnp.int32),
             desc=jnp.zeros((n, 32), jnp.uint8).at[:L].set(jnp.asarray(desc)),
-            points_cam=jnp.zeros((n, 3)),
+            points_body=jnp.zeros((n, 3)),
             feat_valid=jnp.zeros((n,), bool).at[:L].set(True),
             matched_mp=jnp.full((n,), -1, jnp.int32),
             preint=PreintState.identity(),
