@@ -13,6 +13,7 @@
 
 #include <zlib.h>
 
+#include <algorithm>
 #include <atomic>
 #include <condition_variable>
 #include <cstdint>
@@ -21,6 +22,7 @@
 #include <mutex>
 #include <queue>
 #include <string>
+#include <tuple>
 #include <thread>
 #include <vector>
 
@@ -192,7 +194,8 @@ struct Prefetcher {
   std::vector<std::string> paths;
   int width = 0, height = 0;
   size_t next_submit = 0;
-  std::queue<std::pair<size_t, std::vector<uint8_t>>> ready;
+  // (frame index, decode status 0/-1, pixels)
+  std::queue<std::tuple<size_t, int, std::vector<uint8_t>>> ready;
   std::mutex mu;
   std::condition_variable cv_ready, cv_space;
   std::vector<std::thread> workers;
@@ -200,18 +203,22 @@ struct Prefetcher {
   std::atomic<size_t> next_job{0};
   size_t max_queue = 8;
   size_t next_consume = 0;
-  std::vector<std::pair<size_t, std::vector<uint8_t>>> stash;
+  std::vector<std::tuple<size_t, int, std::vector<uint8_t>>> stash;
 
   void worker() {
     while (!stop.load()) {
       size_t j = next_job.fetch_add(1);
       if (j >= paths.size()) return;
       std::vector<uint8_t> buf(static_cast<size_t>(width) * height);
-      png_decode_gray(paths[j].c_str(), buf.data(), static_cast<int>(buf.size()));
+      // a failed/truncated PNG must not serve uninitialized memory as
+      // frame data: zero-fill and surface the status to the consumer
+      int rc = png_decode_gray(paths[j].c_str(), buf.data(),
+                               static_cast<int>(buf.size()));
+      if (rc != 0) std::fill(buf.begin(), buf.end(), 0);
       std::unique_lock<std::mutex> lk(mu);
       cv_space.wait(lk, [&] { return ready.size() < max_queue || stop.load(); });
       if (stop.load()) return;
-      ready.emplace(j, std::move(buf));
+      ready.emplace(j, rc == 0 ? 0 : -1, std::move(buf));
       cv_ready.notify_all();
     }
   }
@@ -235,10 +242,11 @@ int prefetcher_get(void* handle, long index, uint8_t* out) {
   // check stash first (out-of-order arrivals)
   while (true) {
     for (size_t i = 0; i < p->stash.size(); i++) {
-      if (p->stash[i].first == want) {
-        memcpy(out, p->stash[i].second.data(), bytes);
+      if (std::get<0>(p->stash[i]) == want) {
+        memcpy(out, std::get<2>(p->stash[i]).data(), bytes);
+        int st = std::get<1>(p->stash[i]);
         p->stash.erase(p->stash.begin() + i);
-        return 0;
+        return st == 0 ? 0 : 1;  // 1 = decode failed, buffer zeroed
       }
     }
     std::unique_lock<std::mutex> lk(p->mu);
@@ -250,9 +258,9 @@ int prefetcher_get(void* handle, long index, uint8_t* out) {
     p->ready.pop();
     p->cv_space.notify_all();
     lk.unlock();
-    if (item.first == want) {
-      memcpy(out, item.second.data(), bytes);
-      return 0;
+    if (std::get<0>(item) == want) {
+      memcpy(out, std::get<2>(item).data(), bytes);
+      return std::get<1>(item) == 0 ? 0 : 1;  // 1 = decode failed
     }
     p->stash.emplace_back(std::move(item));
   }

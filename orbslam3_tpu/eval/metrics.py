@@ -44,12 +44,64 @@ def ate_rmse(est: np.ndarray, gt: np.ndarray, with_scale: bool = False) -> float
     return float(np.sqrt((err**2).mean()))
 
 
-def rpe_rmse(est: np.ndarray, gt: np.ndarray, delta: int = 20) -> float:
-    """Relative pose (translation drift) RMSE over windows of `delta` frames."""
-    T = len(est)
-    errs = []
-    for i in range(T - delta):
-        de = est[i + delta] - est[i]
-        dg = gt[i + delta] - gt[i]
-        errs.append(np.linalg.norm(de) - np.linalg.norm(dg))
-    return float(np.sqrt(np.mean(np.square(errs)))) if errs else 0.0
+def _qmat_np(q):
+    """(..., 4) wxyz -> (..., 3, 3) rotation matrices."""
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    R = np.empty(q.shape[:-1] + (3, 3))
+    R[..., 0, 0] = 1 - 2 * (y * y + z * z)
+    R[..., 0, 1] = 2 * (x * y - w * z)
+    R[..., 0, 2] = 2 * (x * z + w * y)
+    R[..., 1, 0] = 2 * (x * y + w * z)
+    R[..., 1, 1] = 1 - 2 * (x * x + z * z)
+    R[..., 1, 2] = 2 * (y * z - w * x)
+    R[..., 2, 0] = 2 * (x * z - w * y)
+    R[..., 2, 1] = 2 * (y * z + w * x)
+    R[..., 2, 2] = 1 - 2 * (x * x + y * y)
+    return R
+
+
+def rpe_rmse(
+    est_p: np.ndarray,
+    gt_p: np.ndarray,
+    est_q: np.ndarray | None = None,
+    gt_q: np.ndarray | None = None,
+    delta: int = 20,
+):
+    """Standard Sturm RPE over windows of `delta` frames.
+
+    E_i = (Q_i^-1 Q_{i+d})^-1 (P_i^-1 P_{i+d}) with Q ground truth, P
+    estimate; reports (trans_rmse [m], rot_rmse [rad]). With orientations
+    absent, falls back to expressing both relative translations in the
+    GROUND-TRUTH frame-i axes (captures lateral error, unlike the r1
+    magnitude-difference proxy) and returns (trans_rmse, None).
+    """
+    T = min(len(est_p), len(gt_p))
+    if T <= delta:
+        return 0.0, (0.0 if est_q is not None else None)
+    i0 = np.arange(T - delta)
+    i1 = i0 + delta
+
+    Rg = _qmat_np(np.asarray(gt_q[:T], np.float64)) if gt_q is not None else None
+    if est_q is not None and gt_q is not None:
+        Re = _qmat_np(np.asarray(est_q[:T], np.float64))
+        # relative motions in each frame-i's own axes
+        dRe = np.einsum("nij,nik->njk", Re[i0], Re[i1])  # Re_i^T Re_j
+        dte = np.einsum("nij,ni->nj", Re[i0], est_p[i1] - est_p[i0])  # Re_i^T dp
+        dRg = np.einsum("nij,nik->njk", Rg[i0], Rg[i1])
+        dtg = np.einsum("nij,ni->nj", Rg[i0], gt_p[i1] - gt_p[i0])
+        # error transform: dg^-1 * de
+        Rerr = np.einsum("nij,nik->njk", dRg, dRe)
+        terr = np.einsum("nij,ni->nj", dRg, dte - dtg)
+        trans = float(np.sqrt((np.linalg.norm(terr, axis=-1) ** 2).mean()))
+        tr = np.clip((np.trace(Rerr, axis1=1, axis2=2) - 1) / 2, -1, 1)
+        rot = float(np.sqrt((np.arccos(tr) ** 2).mean()))
+        return trans, rot
+    # position-only fallback: compare relative translation VECTORS in the
+    # ground-truth local frame when available, else world axes
+    de = est_p[i1] - est_p[i0]
+    dg = gt_p[i1] - gt_p[i0]
+    if Rg is not None:
+        de = np.einsum("nij,ni->nj", Rg[i0], de)
+        dg = np.einsum("nij,ni->nj", Rg[i0], dg)
+    err = np.linalg.norm(de - dg, axis=-1)
+    return float(np.sqrt((err**2).mean())), None

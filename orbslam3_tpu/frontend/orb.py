@@ -60,6 +60,26 @@ def level_quotas(cfg: OrbConfig):
 @partial(jax.jit, static_argnames=("cfg",))
 def detect_orb(img, cfg: OrbConfig = OrbConfig()) -> Features:
     """(H, W) f32 grayscale -> Features with n_features slots."""
+    return _detect_impl(img, cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def detect_orb_pair(left, right, cfg: OrbConfig = OrbConfig()):
+    """Detect on BOTH stereo images in one batched program.
+
+    The per-level kernels are small (kernel-launch-bound across 8 pyramid
+    levels — BASELINE.md); vmapping the two same-shape images halves the
+    launch count per frame with zero padding overhead (unlike batching
+    pyramid LEVELS — a measured-slower variant; see ARCHITECTURE.md).
+    Returns (Features_left, Features_right).
+    """
+    f = jax.vmap(lambda im: _detect_impl(im, cfg))(jnp.stack([left, right]))
+    featL = jax.tree.map(lambda a: a[0], f)
+    featR = jax.tree.map(lambda a: a[1], f)
+    return featL, featR
+
+
+def _detect_impl(img, cfg: OrbConfig) -> Features:
     levels = pyr_ops.build_pyramid(img, cfg.n_levels, cfg.scale_factor)
     quotas = level_quotas(cfg)
 

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from orbslam3_tpu.frontend.camera import Camera
-from orbslam3_tpu.frontend.orb import Features, OrbConfig, detect_orb
+from orbslam3_tpu.frontend.orb import Features, OrbConfig, detect_orb_pair
 from orbslam3_tpu.ops.hamming import hamming_matrix
 
 
@@ -100,8 +100,7 @@ def process_stereo(
 
     (reference: StereoProcessor::process, stereo.rs:52)
     """
-    left = detect_orb(img_left, orb_cfg)
-    right = detect_orb(img_right, orb_cfg)
+    left, right = detect_orb_pair(img_left, img_right, orb_cfg)
     u_r, depth, has_depth = match_stereo(left, right, cam, stereo_cfg)
     pts = cam.unproject(left.uv, jnp.where(has_depth, depth, 1.0))
     return StereoFrame(feat=left, u_right=u_r, depth=depth, points_cam=pts, has_depth=has_depth)

@@ -114,6 +114,10 @@ class ImagePrefetcher:
         rc = self._lib.prefetcher_get(
             self._h, index, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
         )
+        if rc == 1:
+            # decode failure: native side zero-filled the buffer; surface
+            # it rather than silently feeding black frames to the tracker
+            raise IOError(f"prefetcher_get({index}): PNG decode failed")
         if rc != 0:
             raise IOError(f"prefetcher_get({index}) failed: {rc}")
         return out

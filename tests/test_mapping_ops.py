@@ -125,3 +125,73 @@ class TestKeyframeCull:
         st2 = fuse_map_points(st, jnp.int32(1), CAM, window=3)
         r0 = float(keyframe_redundancy(st2, jnp.int32(0), min_other_obs=1))
         assert 0.0 <= r0 <= 1.0
+
+
+class TestPointStats:
+    def test_medoid_and_normal_update(self):
+        """update_point_stats must match a numpy reference: min-max-Hamming
+        medoid descriptor (map.rs:880-944) and mean-ray normal + depth
+        bounds (map_point.rs:173-203)."""
+        from orbslam3_tpu.map.mapping_ops import update_point_stats
+        from tests.test_map import make_kf_inputs
+
+        st = empty_map(MapCapacity(max_kf=8, n_feat=32, max_mp=128, max_obs=8))
+        # 3 keyframes at different positions observing shared points
+        for k, px in enumerate([0.0, 0.4, 0.8]):
+            inputs = make_kf_inputs(seed=k)
+            inputs["p_w"] = jnp.asarray([px, 0.0, 0.0])
+            inputs["prev_kf"] = jnp.int32(k - 1)
+            if k > 0:
+                m = np.full(32, -1, np.int32)
+                m[:8] = np.arange(8)
+                inputs["matched_mp"] = jnp.asarray(m)
+            st, _ = insert_keyframe(st, **inputs, new_mp_budget=16)
+
+        st2 = update_point_stats(st, jnp.int32(2))
+
+        # numpy reference for point 0 (observed by kf0 feat0, kf1 f0, kf2 f0)
+        obs_kf = np.asarray(st.mp_obs_kf[0])
+        obs_ft = np.asarray(st.mp_obs_feat[0])
+        sel = obs_kf >= 0
+        descs = np.stack(
+            [np.asarray(st.kf_desc[k_][f_]) for k_, f_ in zip(obs_kf[sel], obs_ft[sel])]
+        )
+        n_obs = len(descs)
+        assert n_obs == 3
+        bits = np.unpackbits(descs, axis=-1)
+        dd = (bits[:, None] != bits[None, :]).sum(-1)
+        maxd = np.where(np.eye(n_obs, dtype=bool), 0, dd).max(1)
+        medoid = descs[maxd.argmin()]
+        np.testing.assert_array_equal(np.asarray(st2.mp_desc[0]), medoid)
+
+        # normal: normalized sum of unit rays from observer positions
+        pos = np.asarray(st.mp_pos[0])
+        kps = np.stack([np.asarray(st.kf_p[k_]) for k_ in obs_kf[sel]])
+        rays = pos[None] - kps
+        units = rays / np.linalg.norm(rays, axis=-1, keepdims=True)
+        nref = units.sum(0)
+        nref /= np.linalg.norm(nref)
+        np.testing.assert_allclose(np.asarray(st2.mp_normal[0]), nref, atol=1e-5)
+
+        dists = np.linalg.norm(rays, axis=-1)
+        np.testing.assert_allclose(
+            float(st2.mp_min_dist[0]), dists.min() / 1.2**7, rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            float(st2.mp_max_dist[0]), dists.max() * 1.2**7, rtol=1e-5
+        )
+
+    def test_untouched_points_unchanged(self):
+        from orbslam3_tpu.map.mapping_ops import update_point_stats
+        from tests.test_map import make_kf_inputs
+
+        st = empty_map(MapCapacity(max_kf=8, n_feat=32, max_mp=128, max_obs=8))
+        st, _ = insert_keyframe(st, **make_kf_inputs(seed=0), new_mp_budget=16)
+        inputs = make_kf_inputs(seed=1)
+        inputs["prev_kf"] = jnp.int32(0)
+        st, _ = insert_keyframe(st, **inputs, new_mp_budget=16)
+        # kf1 matched nothing -> updating around kf1 touches only ITS points
+        st2 = update_point_stats(st, jnp.int32(1))
+        np.testing.assert_array_equal(
+            np.asarray(st2.mp_desc[:16]), np.asarray(st.mp_desc[:16])
+        )
