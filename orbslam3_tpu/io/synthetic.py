@@ -94,6 +94,11 @@ class SyntheticConfig(NamedTuple):
     pos_freq: tuple = (0.11, 0.17, 0.23)  # [Hz]
     yaw_amp: float = 0.9
     yaw_freq: float = 0.07
+    # linear yaw drift [rad/s]: 2*pi/duration pans a full turn and returns
+    # to the starting view — the revisit scenario loop closing needs
+    # (sinusoidal-only trajectories keep old keyframes covisible forever,
+    # so no loop candidate ever passes the connected-exclusion gate)
+    yaw_rate: float = 0.0
     rp_amp: float = 0.12  # roll/pitch amplitude [rad]
     rp_freq: tuple = (0.31, 0.27)
     imu_noise: bool = False  # add sensor noise to IMU samples
@@ -198,7 +203,7 @@ class SyntheticWorld:
 
     def _quat(self, t):
         cfg = self.cfg
-        yaw = cfg.yaw_amp * np.sin(2 * np.pi * cfg.yaw_freq * t)
+        yaw = cfg.yaw_amp * np.sin(2 * np.pi * cfg.yaw_freq * t) + cfg.yaw_rate * t
         roll = cfg.rp_amp * np.sin(2 * np.pi * cfg.rp_freq[0] * t + 0.5)
         pitch = cfg.rp_amp * np.sin(2 * np.pi * cfg.rp_freq[1] * t + 1.1)
         q_yaw = _qexp(np.array([0.0, -1.0, 0.0]) * yaw)

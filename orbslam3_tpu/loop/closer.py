@@ -40,6 +40,13 @@ class LoopConfig(NamedTuple):
     min_sim3_matches: int = 20
     min_sim3_inliers: int = 15  # (ref: >=15)
     sim3_inlier_thr: float = 0.3  # [m] 3D consistency
+    # second-stage reprojection verification (reference: corrector.rs:
+    # 330-378 requires >=50 projected matches) — kills false-positive
+    # Sim3s that 3D-3D RANSAC alone accepts on self-similar structure
+    # (measured: genuine revisits score 35+; wrong-wall Sim3s that pass
+    # 3D-3D RANSAC score <= ~25)
+    reproj_min_inliers: int = 30
+    reproj_radius: float = 6.0  # [px] base search radius
     covis_edge_weight_min: int = 30  # pose-graph covisibility edges
     covis_edges_per_node: int = 6
     pose_graph_iters: int = 10
@@ -72,12 +79,81 @@ def _make_bow_fn(vocab: vb.Vocabulary):
     return bow_fn
 
 
-def _make_score_fn(vocab: vb.Vocabulary):
-    @jax.jit
-    def score_fn(q_ids, q_w, db_ids, db_w):
-        return vb.score_sparse_many(vocab, q_ids, q_w, db_ids, db_w)
+def _make_kf_program(vocab: vb.Vocabulary, cfg: "LoopConfig"):
+    """ONE jitted program per keyframe: BoW transform + database scoring +
+    candidate gating. The host reads back a single 4-scalar packet instead
+    of ~8 separate device fetches (each a tunnel round trip on TPU)."""
 
-    return score_fn
+    @jax.jit
+    def kf_program(desc, feat_valid, db_ids, db_w, kf_valid, kf_map_id,
+                   covis_row, kf_id):
+        ids, w, _ = vb.transform_sparse(vocab, desc, feat_valid)
+        scores = vb.score_sparse_many(vocab, ids, w, db_ids, db_w)  # (K,)
+        K = kf_valid.shape[0]
+        same_map = kf_map_id == kf_map_id[kf_id]
+        if cfg.allow_cross_map:
+            map_ok = same_map | (kf_map_id >= 0)
+        else:
+            map_ok = same_map
+        connected = covis_row > 0
+        idx = jnp.arange(K)
+        recent = jnp.abs(idx - kf_id) < cfg.recent_gap
+        earlier = idx < kf_id
+        mask = kf_valid & map_ok & ~connected & ~recent & earlier
+        cov_ok = connected & kf_valid
+        cov_min = jnp.min(jnp.where(cov_ok, scores, jnp.inf))
+        min_score = jnp.maximum(
+            cfg.min_score,
+            cfg.score_ratio * jnp.where(jnp.isinf(cov_min), 0.0, cov_min),
+        )
+        cand = jnp.where(mask, scores, -1.0)
+        best = jnp.argmax(cand)
+        packet = jnp.stack(
+            [
+                best.astype(jnp.float32),
+                cand[best],
+                min_score,
+                jnp.any(mask).astype(jnp.float32),
+            ]
+        )
+        return ids, w, packet
+
+    return kf_program
+
+
+@jax.jit
+def _reproj_inliers(st: MapState, kf_id, cand, S: Sim3, cam: Camera,
+                    radius, max_hamming):
+    """Count candidate map points that reproject consistently into kf_id
+    under the verified relative Sim3 (S maps cur-body -> cand-body
+    coordinates, so candidate points travel through S^-1)."""
+    M = st.mp_pos.shape[0]
+    mpb = st.kf_mp[cand]
+    mpb_safe = jnp.clip(mpb, 0, M - 1)
+    okb = (mpb >= 0) & st.kf_feat_valid[cand] & st.mp_valid[mpb_safe]
+    qb, pb_ = st.kf_q[cand], st.kf_p[cand]
+    Xb_body = quat.rotate(quat.conj(qb)[None], st.mp_pos[mpb_safe] - pb_[None])
+    X_cur = S.inverse().apply(Xb_body)  # current-body frame
+    if cam.q_bc is not None:
+        Xc = quat.rotate(
+            jnp.broadcast_to(quat.conj(cam.q_bc), X_cur.shape[:-1] + (4,)),
+            X_cur - cam.p_bc,
+        )
+    else:
+        Xc = X_cur
+    proj = cam.project(Xc)
+    z = Xc[:, 2]
+    vis = okb & (z > 0.2) & cam.in_view(proj, 2.0)
+    duv = jnp.linalg.norm(proj[:, None] - st.kf_uv[kf_id][None], axis=-1)
+    dd = hamming_matrix(st.mp_desc[mpb_safe], st.kf_desc[kf_id]).astype(jnp.float32)
+    rad = radius * 1.2 ** st.kf_octave[kf_id].astype(jnp.float32)
+    ok = (
+        vis[:, None]
+        & st.kf_feat_valid[kf_id][None, :]
+        & (duv <= rad[None, :])
+        & (dd <= max_hamming)
+    )
+    return jnp.sum(jnp.any(ok, axis=1).astype(jnp.int32))
 
 
 @jax.jit
@@ -101,7 +177,7 @@ class LoopCloser:
     def __init__(self, vocabulary: vb.Vocabulary, cfg: LoopConfig = LoopConfig()):
         self.vocab = vocabulary
         self._bow_fn = _make_bow_fn(vocabulary)
-        self._score_fn = _make_score_fn(vocabulary)
+        self._kf_program = _make_kf_program(vocabulary, cfg)
         self.cfg = cfg
         # sparse keyframe BoW database: (K_cap, L) leaf ids + weights
         self.bow_ids: Optional[jnp.ndarray] = None
@@ -144,14 +220,19 @@ class LoopCloser:
         """Process a new keyframe. Returns (MapState, corrected: bool)."""
         cfg = self.cfg
         self._ensure_storage(st)
-        bow_ids, bow_w = self._bow_fn(st.kf_desc[kf_id], st.kf_feat_valid[kf_id])
+        bow_ids, bow_w, packet = self._kf_program(
+            st.kf_desc[kf_id], st.kf_feat_valid[kf_id],
+            self.bow_ids, self.bow_w,
+            st.kf_valid, st.kf_map_id, st.covis[kf_id], jnp.int32(kf_id),
+        )
         self.bow_ids = self.bow_ids.at[kf_id].set(bow_ids)
         self.bow_w = self.bow_w.at[kf_id].set(bow_w)
 
         if kf_id - self.last_loop_kf < cfg.recent_gap:
             return st, False
 
-        cand = self._detect(st, kf_id, bow_ids, bow_w)
+        best, best_score, min_score, any_mask = np.asarray(packet)  # ONE fetch
+        cand = int(best) if any_mask > 0 and best_score >= min_score else None
         if cand is None:
             return st, False
         self.stats = self.stats._replace(candidates_checked=self.stats.candidates_checked + 1)
@@ -160,7 +241,7 @@ class LoopCloser:
             return st, False
         self.stats = self.stats._replace(consistent=self.stats.consistent + 1)
 
-        S_rel = self._verify(st, kf_id, cand)
+        S_rel = self._verify(st, kf_id, cand, cam)
         if S_rel is None:
             return st, False
         self.stats = self.stats._replace(verified=self.stats.verified + 1)
@@ -183,44 +264,6 @@ class LoopCloser:
         return st, True
 
     # ------------------------------------------------------------------
-    def _detect(self, st: MapState, kf_id: int, bow_ids, bow_w):
-        """BoW candidate search (reference: detect_loop_candidates,
-        detector.rs:185)."""
-        cfg = self.cfg
-        scores = self._score_fn(bow_ids, bow_w, self.bow_ids, self.bow_w)  # (K,)
-        covis_row = np.asarray(st.covis[kf_id])
-        valid = np.asarray(st.kf_valid)
-        kf_map = np.asarray(st.kf_map_id)
-        same_map = kf_map == kf_map[kf_id]
-        if cfg.allow_cross_map:
-            # archived maps are fair game: a hit there triggers a MERGE
-            # (capability the reference lacks — SURVEY.md §2.1 #31)
-            map_ok = same_map | (kf_map >= 0)
-        else:
-            map_ok = same_map
-        s = np.asarray(scores)
-
-        connected = covis_row > 0
-        recent = np.abs(np.arange(len(s)) - kf_id) < cfg.recent_gap
-        # only keyframes that existed before the query (ids are monotonic)
-        earlier = np.arange(len(s)) < kf_id
-        mask = valid & map_ok & ~connected & ~recent & earlier
-        if not mask.any():
-            return None
-
-        # min score from covisible keyframes (reference: detector.rs:264-298)
-        cov_ids = np.nonzero(connected & valid)[0]
-        if len(cov_ids):
-            min_score = max(cfg.min_score, cfg.score_ratio * float(s[cov_ids].min()))
-        else:
-            min_score = cfg.min_score
-
-        cand_scores = np.where(mask, s, -1.0)
-        best = int(cand_scores.argmax())
-        if cand_scores[best] < min_score:
-            return None
-        return best
-
     def _check_consistency(self, st: MapState, kf_id: int, cand: int) -> bool:
         """Candidate region must be re-detected over `consistency_needed`
         consecutive keyframes (reference: ConsistencyChecker, detector.rs:
@@ -246,7 +289,7 @@ class LoopCloser:
         ][-16:]
         return chain >= self.cfg.consistency_needed
 
-    def _verify(self, st: MapState, kf_id: int, cand: int):
+    def _verify(self, st: MapState, kf_id: int, cand: int, cam: Camera):
         """Descriptor match + Sim3 RANSAC between the two keyframes.
         Returns S (cand_body <- cur_body) or None.
         (reference: verify_loop_candidate, corrector.rs:116)"""
@@ -279,6 +322,21 @@ class LoopCloser:
             pa, pb, ok, key, inlier_thr=cfg.sim3_inlier_thr, fix_scale=True
         )
         if int(n_inl) < cfg.min_sim3_inliers:
+            return None
+
+        # ---- second stage: reprojection verification (corrector.rs:
+        # 330-378). Project the candidate's map points through S^-1 into
+        # the CURRENT keyframe and count pixel-consistent descriptor
+        # matches; a wrong-wall Sim3 passes 3D-3D RANSAC on self-similar
+        # structure but cannot reproject consistently.
+        n_reproj = int(
+            _reproj_inliers(
+                st, jnp.int32(kf_id), jnp.int32(cand), S, cam,
+                jnp.float32(cfg.reproj_radius),
+                jnp.int32(cfg.match_hamming_max),
+            )
+        )
+        if n_reproj < cfg.reproj_min_inliers:
             return None
         return S
 
@@ -407,7 +465,11 @@ class LoopCloser:
         # keyframe's window happens to cover both sides)
         from orbslam3_tpu.map.mapping_ops import fuse_across_seam
 
-        st = fuse_across_seam(st, jnp.int32(kf_id), jnp.int32(cand), cam)
+        # tighter gates than in-window fusion: the just-welded geometry
+        # still carries residual drift, and a false merge here corrupts
+        # the map permanently
+        st = fuse_across_seam(st, jnp.int32(kf_id), jnp.int32(cand), cam,
+                              radius=2.5, max_hamming=40)
 
         if cfg.run_global_ba:
             st = self._global_ba(st, cand, cam)

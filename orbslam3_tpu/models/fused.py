@@ -110,6 +110,13 @@ class FrameOut(NamedTuple):
     n_features: jnp.ndarray  # valid detections this frame
     n_stereo: jnp.ndarray  # features with stereo depth
     mean_reproj_px: jnp.ndarray  # RMS reprojection error of inliers [px]
+    # pose RELATIVE to the reference keyframe at record time: trajectory
+    # export composes rel with the FINAL keyframe pose, so loop/merge
+    # corrections apply retroactively (ORB-SLAM3's export convention; the
+    # raw per-frame pose stream jumps at every map weld)
+    ref_kf: jnp.ndarray  # () int32 (-1 = none)
+    rel_q: jnp.ndarray  # (4,)
+    rel_p: jnp.ndarray  # (3,)
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0, 1))
@@ -462,6 +469,14 @@ def _slam_step_core(st: sm.MapState, ts: TrackState, left_u8, right_u8,
         jnp.sum(sq * inl_f) / jnp.maximum(jnp.sum(inl_f), 1.0)
     )
 
+    # relative pose to the (post-insert) reference keyframe
+    K = st.kf_valid.shape[0]
+    ref = jnp.clip(ts.last_kf, 0, K - 1)
+    ref_ok = (ts.mode != MODE_NOT_INIT) & st.kf_valid[ref]
+    q_ref, p_ref = st.kf_q[ref], st.kf_p[ref]
+    rel_q = quat.normalize(quat.mul(quat.conj(q_ref), ts.q))
+    rel_p = quat.rotate(quat.conj(q_ref), ts.p - p_ref)
+
     out = FrameOut(
         q=ts.q, p=ts.p, v=ts.v,
         n_matches=n_matches, n_inliers=n_inl,
@@ -469,8 +484,30 @@ def _slam_step_core(st: sm.MapState, ts: TrackState, left_u8, right_u8,
         n_features=jnp.sum(featL.valid.astype(jnp.int32)),
         n_stereo=n_stereo,
         mean_reproj_px=mean_reproj,
+        ref_kf=jnp.where(ref_ok, ref, -1),
+        rel_q=rel_q,
+        rel_p=rel_p,
     )
     return st, ts, out
+
+
+@jax.jit
+def _retarget_tracker(ts: TrackState, q_old, p_old, q_new, p_new) -> TrackState:
+    """Apply a loop/merge correction's world-frame delta to the live tracker
+    state. ts was estimated while keyframe k sat at (q_old, p_old); the
+    correction moved k to (q_new, p_new), i.e. world points were remapped by
+    T_delta = T_new . T_old^-1. The motion deltas (motion_dq/dp) are
+    body-relative and invariant under this left multiplication.
+    (reference analog: tracker reads corrected poses from the shared Atlas
+    after loop_corrected is set — here the state is explicit.)"""
+    qd = quat.normalize(quat.mul(q_new, quat.conj(q_old)))
+    pd = p_new - quat.rotate(qd, p_old)
+    return ts._replace(
+        q=quat.normalize(quat.mul(qd, ts.q)),
+        p=quat.rotate(qd, ts.p) + pd,
+        v=quat.rotate(qd, ts.v),
+        gravity_w=quat.rotate(qd, ts.gravity_w),
+    )
 
 
 def _materialize(tree):
@@ -499,6 +536,11 @@ class FusedSlam:
         self.map = _materialize(empty_map(cfg.cap))
         self.ts = _materialize(TrackState.initial())
         self.outs: list = []  # (t, FrameOut) — device handles, no sync
+        # compaction remap bookkeeping for corrected trajectory export:
+        # out entry recorded at epoch e must pass its ref_kf through every
+        # remap appended after e
+        self._out_epochs: list = []
+        self._kf_remaps: list = []
         self.service_every = service_every
         self.chunk = chunk  # frames per device dispatch (throughput knob)
         self._pending: list = []
@@ -511,6 +553,12 @@ class FusedSlam:
         self._kf_ub = 0
         self._mp_ub = 0
         self.compactions = 0
+        # IMU-init refinement phases (reference: inertial_init_optim.rs:
+        # 12-14 — re-run bias-only / gravity refinement as the map
+        # matures, with priors phased out by map age)
+        self._imu_init_time: float | None = None
+        self._imu_phase = 0  # 0 uninit, 1 init, 2 refined@5s, 3 refined@15s
+        self._last_t = 0.0
         self.loop_closer = None
         if vocabulary is not None:
             from orbslam3_tpu.loop.closer import LoopCloser
@@ -549,7 +597,9 @@ class FusedSlam:
                 jnp.float32(t), self.cam, self.cfg,
             )
             self.outs.append((t, out))
+            self._out_epochs.append(len(self._kf_remaps))
         self._frames += 1
+        self._last_t = float(t)
         # worst-case rows a frame can add (1 KF; budget stereo spawns +
         # triangulated mono points)
         self._kf_ub += 1
@@ -559,6 +609,7 @@ class FusedSlam:
         need_services = (
             self.loop_closer is not None
             or (self.cfg.use_imu and not self.imu_initialized)
+            or self._imu_refine_due()
             or self._compact_due()
         )
         if need_services and self._frames % self.service_every == 0:
@@ -595,6 +646,7 @@ class FusedSlam:
             if self.loop_closer is not None:
                 self.loop_closer.remap_rows(km)
             self._n_kf_seen = int(self.map.n_kf)
+            self._kf_remaps.append(km)
             self.compactions += 1
         # resync bounds to the true (possibly just-compacted) counts
         self._kf_ub = int(self.map.n_kf)
@@ -616,6 +668,7 @@ class FusedSlam:
         # here would issue dozens of tiny device ops and resurrect the
         # dispatch overhead the chunking removed. Host unpacks lazily.
         self.outs.append(([float(b[6]) for b in batch], outs))
+        self._out_epochs.append(len(self._kf_remaps))
         return outs
 
     # ------------------------------------------------------------------
@@ -628,14 +681,26 @@ class FusedSlam:
             n_kf = int(self.map.n_kf)
             if n_kf >= cfg.imu_init_kfs:
                 self._try_imu_init(n_kf)
+        elif self._imu_refine_due():
+            self._imu_refine()
         n_kf = int(self.map.n_kf)
         while self._n_kf_seen < n_kf:
             k = self._n_kf_seen
             self._per_keyframe_services(jnp.int32(k))
             if self.loop_closer is not None:
-                self.map, _corrected = self.loop_closer.on_keyframe(
+                # snapshot this keyframe's pose: if the loop closer corrects
+                # the map, the LIVE tracker state (estimated against the
+                # pre-correction world frame) must ride along or the next
+                # frame's motion prior points at where the map used to be
+                q_old, p_old = self.map.kf_q[k], self.map.kf_p[k]
+                self.map, corrected = self.loop_closer.on_keyframe(
                     self.map, k, self.cam
                 )
+                if corrected:
+                    self.ts = _retarget_tracker(
+                        self.ts, q_old, p_old,
+                        self.map.kf_q[k], self.map.kf_p[k],
+                    )
             self._n_kf_seen += 1
         self._maybe_compact()
 
@@ -696,6 +761,68 @@ class FusedSlam:
             imu_ok=jnp.asarray(True),
         )
         self.imu_initialized = True
+        self._imu_phase = 1
+        self._imu_init_time = self._last_t
+
+    # time-phased refinement thresholds [s since first init] and prior
+    # scales (reference: <5 s strong, <15 s moderate, >=15 s none —
+    # inertial_init_optim.rs:81-115)
+    _REFINE_PHASES = ((1, 5.0, 0.3), (2, 15.0, 0.02))
+
+    def _imu_refine_due(self) -> bool:
+        if not self.imu_initialized or self._imu_init_time is None:
+            return False
+        age = self._last_t - self._imu_init_time
+        for phase, after, _scale in self._REFINE_PHASES:
+            if self._imu_phase == phase and age >= after:
+                return True
+        return False
+
+    def _imu_refine(self):
+        """Re-estimate gravity direction + biases against the matured,
+        VI-BA-polished keyframe poses (reference: bias-only and
+        scale/Rwg refinement passes, inertial_init_optim.rs:12-14).
+        Round 1 estimated gravity exactly once (VERDICT missing #8)."""
+        import numpy as np
+
+        from orbslam3_tpu.optim.imu_init import inertial_init
+
+        scale = dict(
+            (p, s) for p, _a, s in self._REFINE_PHASES
+        )[self._imu_phase]
+        next_phase = self._imu_phase + 1
+        cfg = self.cfg
+        n_kf = int(self.map.n_kf)
+        active = int(self.map.active_map)
+        kf_valid = np.asarray(self.map.kf_valid[:n_kf])
+        kf_map = np.asarray(self.map.kf_map_id[:n_kf])
+        in_map = [k for k in range(n_kf) if kf_valid[k] and kf_map[k] == active]
+        self._imu_phase = next_phase  # one attempt per phase either way
+        if len(in_map) < cfg.imu_init_kfs:
+            return
+        ids = in_map[-16:]
+        W = len(ids)
+        idx = jnp.asarray(ids)
+        edge_ids = jnp.asarray(ids[1:])
+        preints = jax.tree.map(lambda a_: a_[edge_ids], self.map.kf_preint)
+        edge_valid = preints.dt > 1e-4
+        if int(jnp.sum(edge_valid)) < W - 2:
+            return
+        res = inertial_init(
+            self.map.kf_q[idx], self.map.kf_p[idx], preints, edge_valid,
+            prior_scale=jnp.float32(scale),
+        )
+        g_norm = float(jnp.linalg.norm(res.gravity_w))
+        if not (9.0 < g_norm < 10.6) or not float(res.cost1) < float(res.cost0):
+            return
+        # accept: update gravity + biases (velocities stay VI-BA-owned)
+        self.ts = self.ts._replace(
+            gravity_w=res.gravity_w, bg=res.bias_g, ba=res.bias_a
+        )
+        kf_bg = self.map.kf_bg.at[idx].set(jnp.tile(res.bias_g, (W, 1)))
+        kf_ba = self.map.kf_ba.at[idx].set(jnp.tile(res.bias_a, (W, 1)))
+        self.map = self.map._replace(kf_bg=kf_bg, kf_ba=kf_ba)
+        self.imu_refines = getattr(self, "imu_refines", 0) + 1
 
     def _reset_bad_imu(self):
         """Static-start recovery: drop the poisoned map, restart tracking
@@ -717,34 +844,72 @@ class FusedSlam:
             )
         )
         self.bad_imu_resets = getattr(self, "bad_imu_resets", 0) + 1
+        self._imu_phase = 0
+        self._imu_init_time = None
 
     # ------------------------------------------------------------------
     def _flat_outs(self):
-        """Host-side flatten: chunked entries hold batched FrameOuts."""
+        """Host-side flatten: chunked entries hold batched FrameOuts.
+        Returns (times, outs, epochs) with one epoch index per frame."""
         import numpy as np
 
-        ts_, outs = [], []
-        for t, o in self.outs:
+        ts_, outs, eps = [], [], []
+        for (t, o), ep in zip(self.outs, self._out_epochs):
             if isinstance(t, list):  # chunked
                 arrs = jax.tree.map(np.asarray, o)
                 for i in range(len(t)):
                     ts_.append(t[i])
                     outs.append(jax.tree.map(lambda a, idx=i: a[idx], arrs))
+                    eps.append(ep)
             else:
                 ts_.append(t)
                 outs.append(jax.tree.map(np.asarray, o))
-        return ts_, outs
+                eps.append(ep)
+        return ts_, outs, eps
 
-    def trajectory_arrays(self):
+    def trajectory_arrays(self, corrected: bool = True):
+        """(times, positions, quats). With corrected=True each frame pose
+        is re-composed from its reference keyframe's FINAL pose (through
+        any compaction remaps), so loop closures / map merges apply to the
+        whole history — the raw stream keeps pre-correction poses and
+        jumps at every weld."""
         import numpy as np
 
-        ts_, outs = self._flat_outs()
+        from orbslam3_tpu.io.synthetic import _qmul, _qnorm, _qrot
+
+        ts_, outs, eps = self._flat_outs()
         ps = np.stack([o.p for o in outs])
         qs = np.stack([o.q for o in outs])
+        if not corrected or not len(outs):
+            return np.asarray(ts_), ps, qs
+
+        # host numpy throughout: per-frame device ops would each pay a
+        # dispatch round trip
+        kf_q = np.asarray(self.map.kf_q, np.float64)
+        kf_p = np.asarray(self.map.kf_p, np.float64)
+        kf_valid = np.asarray(self.map.kf_valid)
+        K = len(kf_valid)
+        for i, o in enumerate(outs):
+            ref = int(o.ref_kf)
+            if ref < 0:
+                continue
+            for km in self._kf_remaps[eps[i]:]:
+                ref = int(km[ref]) if 0 <= ref < len(km) else -1
+                if ref < 0:
+                    break
+            if ref < 0 or ref >= K or not kf_valid[ref]:
+                continue  # reference culled: keep the raw pose
+            qr = kf_q[ref]
+            qs[i] = _qnorm(_qmul(qr, np.asarray(o.rel_q, np.float64))).astype(
+                np.float32
+            )
+            ps[i] = (kf_p[ref] + _qrot(qr, np.asarray(o.rel_p, np.float64))).astype(
+                np.float32
+            )
         return np.asarray(ts_), ps, qs
 
     def modes(self):
         import numpy as np
 
-        ts_, outs = self._flat_outs()
+        ts_, outs, _ = self._flat_outs()
         return np.array([int(o.mode) for o in outs])

@@ -47,6 +47,7 @@ def inertial_init(
     sigma_pose_rot: float = 5e-3,
     sigma_pose_vel: float = 0.05,
     sigma_pose_pos: float = 0.02,
+    prior_scale=1.0,
 ) -> ImuInitResult:
     """Solve for velocities, biases, and world gravity from keyframe poses.
 
@@ -54,6 +55,10 @@ def inertial_init(
       qs, ps: (W, 4), (W, 3) keyframe poses from visual odometry
       preints: PreintState with leading dim (W-1) — edge i connects kf i -> i+1
       edge_valid: (W-1,) bool
+      prior_scale: scales the bias priors — the reference phases them by
+        map age (<5 s strong, <15 s moderate, then none;
+        inertial_init_optim.rs:81-115). 1.0 for the first init; the
+        refinement phases pass smaller values as pose accuracy matures.
     """
     W = qs.shape[0]
     E = W - 1
@@ -126,7 +131,7 @@ def inertial_init(
         ).reshape(-1)
         r_priors = jnp.concatenate(
             [(bg - bg0) * w_bg_prior, ba * w_ba_prior]
-        )
+        ) * jnp.maximum(prior_scale, 1e-2)  # keep conditioning at "none"
         return jnp.concatenate([r_edges, r_priors])
 
     def lin_step(x, _):

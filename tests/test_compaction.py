@@ -6,6 +6,7 @@ covisibility, temporal chain) exactly consistent through the permutation,
 and actually reuse freed rows on subsequent insertions.
 """
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from orbslam3_tpu.imu.preintegration import PreintState
@@ -126,6 +127,7 @@ def test_compact_after_point_cull_reuses_rows():
     assert np.asarray(st3.mp_valid)[: int(st3.n_mp)].all()
 
 
+@pytest.mark.slow
 def test_fused_long_run_compacts(synthetic_world_small=None):
     """FusedSlam on a tiny-capacity map: compaction must kick in and the
     capacity guard must never freeze keyframe insertion (VERDICT r1 #2)."""

@@ -54,6 +54,7 @@ def test_fused_stereo_inertial(chunk, imu_noise):
     assert ate < limit, f"ATE {ate:.3f} m"
 
 
+@pytest.mark.slow
 def test_keyframe_capacity_guard():
     """When the keyframe array fills up, insertion stops gracefully instead
     of scattering out of bounds while counters advance."""

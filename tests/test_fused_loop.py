@@ -56,7 +56,6 @@ def test_blackout_then_merge():
     # cross-map merges should fire readily in this test
     slam.loop_closer.cfg = slam.loop_closer.cfg._replace(
         recent_gap=3, consistency_needed=2, covis_edge_weight_min=10,
-        run_global_ba=False,
     )
 
     times = world.frame_times()

@@ -40,3 +40,22 @@ def test_exports(tmp_path):
     lines = tum.read_text().strip().splitlines()
     assert len(lines) == 3
     assert len(lines[0].split()) == 8
+
+
+def test_html_view_export(tmp_path):
+    """Offline HTML viewer: valid standalone file embedding the map."""
+    from orbslam3_tpu.map.slam_map import empty_map, insert_keyframe
+    from orbslam3_tpu.viz.html_view import save_html_view
+    from tests.test_map import CAP, make_kf_inputs
+    import numpy as np
+
+    st = empty_map(CAP)
+    st, _ = insert_keyframe(st, **make_kf_inputs(), new_mp_budget=16)
+    traj = np.cumsum(np.ones((30, 3)) * 0.01, axis=0)
+    p = tmp_path / "view.html"
+    save_html_view(str(p), map_state=st, traj=traj, gt=traj + 0.01)
+    html = p.read_text()
+    assert html.startswith("<!DOCTYPE html>")
+    assert '"points":' in html and '"traj":' in html
+    assert html.count("<script>") == 1  # self-contained, no external deps
+    assert "http" not in html.split("<script>")[1]  # no CDN fetches

@@ -55,7 +55,7 @@ def test_blackout_bridged_with_imu_keyframes():
     # the map survived: no new map was created
     assert int(slam.map.next_map_id) == 1, "blackout reset/archived the map"
 
-    ts_, outs = slam._flat_outs()
+    ts_, outs, _ = slam._flat_outs()
     ts_ = np.asarray(ts_)
     modes = np.array([int(o.mode) for o in outs])
     kf_flags = np.array([bool(o.is_kf) for o in outs])
