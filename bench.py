@@ -57,7 +57,7 @@ def run_pipeline(world, times, frames, imu, slam_cfg, vocab=None, chunk=4,
     for i in range(timed_from, len(times)):
         g, a, d = imu[i]
         slam.process_frame(frames[i][0], frames[i][1], g, a, d, float(times[i]))
-    slam.flush()
+    slam.finalize()
     jax.block_until_ready(slam.ts.q)
     elapsed = time.perf_counter() - t0
     fps = (len(times) - timed_from) / elapsed
@@ -71,14 +71,19 @@ def train_world_vocab(world, frames):
     from orbslam3_tpu.frontend.orb import OrbConfig, detect_orb
     from orbslam3_tpu.loop import vocab as vb
 
-    descs = []
+    descs, doc = [], []
     oc = OrbConfig()
-    for i in range(0, len(frames), max(len(frames) // 8, 1)):
+    for di, i in enumerate(range(0, len(frames), max(len(frames) // 16, 1))):
         f = detect_orb(jnp.asarray(frames[i][0].astype(np.float32)), oc)
         d = np.asarray(f.desc)[np.asarray(f.valid)]
         descs.append(d)
+        doc.append(np.full(len(d), di))
     corpus = np.concatenate(descs)
-    return vb.train_vocabulary(corpus, k=8, levels=3)
+    # k=10, L=4 (10k leaves) with per-frame idf: the 512-leaf uniform-idf
+    # variant scored genuine revisits BELOW opposite-wall views (flat ~0.65
+    # everywhere); discrimination needs leaf count >> features/frame
+    return vb.train_vocabulary(corpus, k=10, levels=4,
+                               doc_ids=np.concatenate(doc))
 
 
 def flops_per_frame(world, slam_cfg):

@@ -57,6 +57,19 @@ class Camera(NamedTuple):
 
         return quat.rotate(jnp.broadcast_to(self.q_bc, xc.shape[:-1] + (4,)), xc) + self.p_bc
 
+    def project_body(self, xb):
+        """Body-frame points (..., 3) -> (pixels (..., 2), cam depth (...,))."""
+        if self.q_bc is None:
+            xc = xb
+        else:
+            from orbslam3_tpu.geometry import quat
+
+            xc = quat.rotate(
+                jnp.broadcast_to(quat.conj(self.q_bc), xb.shape[:-1] + (4,)),
+                xb - self.p_bc,
+            )
+        return self.project(xc), xc[..., 2]
+
     @property
     def baseline(self):
         return self.bf / self.fx

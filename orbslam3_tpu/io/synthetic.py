@@ -104,6 +104,14 @@ class SyntheticConfig(NamedTuple):
     imu_noise: bool = False  # add sensor noise to IMU samples
     gyro_bias: tuple = (0.0, 0.0, 0.0)
     accel_bias: tuple = (0.0, 0.0, 0.0)
+    # mid-run bias step (temperature-drift style): from bias_step_t on, the
+    # step values add to the static biases. Paired with a camera blackout
+    # this forces genuine dead-reckoning drift — the estimator's bias
+    # estimate goes stale exactly when vision can't correct it — which is
+    # the scenario loop closing exists to repair.
+    bias_step_t: float = -1.0  # [s]; < 0 disables
+    gyro_bias_step: tuple = (0.0, 0.0, 0.0)
+    accel_bias_step: tuple = (0.0, 0.0, 0.0)
     # T_BC: camera pose in the body (IMU) frame, wxyz quaternion + offset.
     # Identity = body == left camera (the pre-extrinsics setup). Set to a
     # EuRoC-like transform (euroc_t_bc()) to exercise the full extrinsics
@@ -238,6 +246,9 @@ class SyntheticWorld:
         acc_b = _qrot(_qconj(q), a_w - GRAVITY_NP)
         gyro = gyro + np.asarray(self.cfg.gyro_bias)
         acc_b = acc_b + np.asarray(self.cfg.accel_bias)
+        if 0.0 <= self.cfg.bias_step_t <= t:
+            gyro = gyro + np.asarray(self.cfg.gyro_bias_step)
+            acc_b = acc_b + np.asarray(self.cfg.accel_bias_step)
         if self.cfg.imu_noise:
             sr = np.sqrt(self.cfg.imu_hz)
             gyro = gyro + self._rng.normal(0, 1.7e-4 * sr, 3)

@@ -671,6 +671,30 @@ class FusedSlam:
         self._out_epochs.append(len(self._kf_remaps))
         return outs
 
+    def finalize(self):
+        """Dispatch buffered frames and run a final service round (drains
+        the loop closer's in-flight detection packet — without it a loop
+        whose closing keyframe is the last of the sequence is lost)."""
+        self.flush()
+        if self.loop_closer is not None or (
+            self.cfg.use_imu and not self.imu_initialized
+        ):
+            self._host_services()
+        self._drain_loop_closer()
+
+    def _drain_loop_closer(self):
+        """Act on the loop closer's in-flight detection packet."""
+        if self.loop_closer is None or self.loop_closer.pending_kf is None:
+            return
+        pk = self.loop_closer.pending_kf
+        q_old, p_old = self.map.kf_q[pk], self.map.kf_p[pk]
+        self.map, corrected = self.loop_closer.drain(self.map, self.cam)
+        if corrected:
+            self.ts = _retarget_tracker(
+                self.ts, q_old, p_old,
+                self.map.kf_q[pk], self.map.kf_p[pk],
+            )
+
     # ------------------------------------------------------------------
     def _host_services(self):
         """Rare host-side work on lazily-synced state."""
@@ -684,6 +708,7 @@ class FusedSlam:
         elif self._imu_refine_due():
             self._imu_refine()
         n_kf = int(self.map.n_kf)
+        new_kfs = self._n_kf_seen < n_kf
         while self._n_kf_seen < n_kf:
             k = self._n_kf_seen
             self._per_keyframe_services(jnp.int32(k))
@@ -691,7 +716,10 @@ class FusedSlam:
                 # snapshot this keyframe's pose: if the loop closer corrects
                 # the map, the LIVE tracker state (estimated against the
                 # pre-correction world frame) must ride along or the next
-                # frame's motion prior points at where the map used to be
+                # frame's motion prior points at where the map used to be.
+                # (the correction transforms EVERY valid keyframe, so the
+                # delta measured at row k is exact even though the pipelined
+                # closer acts on keyframe k-1's detection packet here)
                 q_old, p_old = self.map.kf_q[k], self.map.kf_p[k]
                 self.map, corrected = self.loop_closer.on_keyframe(
                     self.map, k, self.cam
@@ -702,6 +730,9 @@ class FusedSlam:
                         self.map.kf_q[k], self.map.kf_p[k],
                     )
             self._n_kf_seen += 1
+        if not new_kfs:
+            # idle round: act on the in-flight detection packet
+            self._drain_loop_closer()
         self._maybe_compact()
 
     def _per_keyframe_services(self, k):

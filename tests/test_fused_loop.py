@@ -68,6 +68,7 @@ def test_blackout_then_merge():
             left, right = world.render_frame(t)
         slam.process_frame(left, right, np.zeros((0, 3)), np.zeros((0, 3)),
                            np.zeros(0), float(t))
+    slam.finalize()
 
     kf_maps = np.asarray(slam.map.kf_map_id)[np.asarray(slam.map.kf_valid)]
     distinct = set(kf_maps.tolist())
