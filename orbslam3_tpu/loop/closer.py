@@ -51,10 +51,21 @@ class LoopConfig(NamedTuple):
     # self-similar structure
     reproj_min_inliers: int = 25
     reproj_radius: float = 3.0  # [px] base radius (scaled by 1.2^octave)
-    # place-recognition floor: the best candidate's mutual-match count
-    # must exceed this fraction of the query's valid features before the
+    # place-recognition floor: a candidate's mutual-match count must
+    # exceed this fraction of the query's valid features before the
     # (expensive) geometric verification is attempted
     rerank_min_frac: float = 0.25
+    # candidates examined per keyframe, best-count first (the reference
+    # detector returns a LIST — detector.rs:301-368; with self-similar
+    # structure the genuine revisit is not always rank 1)
+    n_candidates: int = 4
+    # exclude keyframes sharing >= this many observations from candidacy.
+    # 15 = ORB-SLAM's covisibility-edge threshold. Measured: after a
+    # blackout-drift seam the tracker re-associates a HANDFUL (7-25) of
+    # old-lap points, and a covis>0 exclusion veto-masks exactly the
+    # genuine loop candidates (match count 511-540 vs ~330 aliased
+    # background) while BA can't heal the seam from so few shared obs
+    covis_exclude_min: int = 15
     covis_edge_weight_min: int = 30  # pose-graph covisibility edges
     covis_edges_per_node: int = 6
     pose_graph_iters: int = 10
@@ -94,7 +105,7 @@ def _make_kf_program(vocab: vb.Vocabulary, cfg: "LoopConfig"):
     @jax.jit
     def kf_program(desc, feat_valid, db_ids, db_w, kf_valid, kf_map_id,
                    covis, kf_desc, kf_feat_valid, kf_id, recent_gap,
-                   hamming_max):
+                   hamming_max, covis_min):
         ids, w, _ = vb.transform_sparse(vocab, desc, feat_valid)
         K = kf_valid.shape[0]
         N = desc.shape[0]
@@ -103,26 +114,29 @@ def _make_kf_program(vocab: vb.Vocabulary, cfg: "LoopConfig"):
             map_ok = same_map | (kf_map_id >= 0)
         else:
             map_ok = same_map
-        connected = covis[kf_id] > 0
+        connected = covis[kf_id] >= covis_min
         idx = jnp.arange(K)
         recent = jnp.abs(idx - kf_id) < recent_gap
         earlier = idx < kf_id
         mask = kf_valid & map_ok & ~connected & ~recent & earlier
 
         # mutual-best match count vs EVERY keyframe, chunked so the
-        # (K, N, N) pairwise-distance intermediate stays ~64 MB
+        # (N, C, N) pairwise-distance intermediate stays small. Distances
+        # (ints <= 256, exact in bf16) stay in the matmul's natural layout
+        # — no (C, N, N) transpose — and bf16 halves the HBM traffic of
+        # the argmin passes, which dominate this program.
         def count_chunk(cands):
             D = hamming_matrix(
                 desc, kf_desc[cands].reshape(-1, 32)
-            ).reshape(N, CHUNK, N).transpose(1, 0, 2).astype(jnp.float32)
-            okr = feat_valid[None, :, None] & kf_feat_valid[cands][:, None, :]
-            cost = jnp.where(okr, D, 1e6)
-            bb = jnp.argmin(cost, axis=2)  # (C, N)
-            bv = jnp.min(cost, axis=2)
-            ba = jnp.argmin(cost, axis=1)  # (C, N)
-            mutual = jnp.take_along_axis(ba, bb, axis=1) == jnp.arange(N)[None]
+            ).reshape(N, CHUNK, N).astype(jnp.bfloat16)
+            okr = feat_valid[:, None, None] & kf_feat_valid[cands][None, :, :]
+            cost = jnp.where(okr, D, jnp.bfloat16(1e6))
+            bb = jnp.argmin(cost, axis=2)  # (N, C): best cand-feature per query
+            bv = jnp.min(cost, axis=2)  # (N, C)
+            ba = jnp.argmin(cost, axis=0)  # (C, N): best query-feature per cand
+            mutual = jnp.take_along_axis(ba, bb.T, axis=1) == jnp.arange(N)[None]
             return jnp.sum(
-                (mutual & (bv <= hamming_max)).astype(jnp.int32),
+                (mutual & (bv.T <= hamming_max)).astype(jnp.int32),
                 axis=1,
             )
 
@@ -130,18 +144,21 @@ def _make_kf_program(vocab: vb.Vocabulary, cfg: "LoopConfig"):
             count_chunk, jnp.arange(K, dtype=jnp.int32).reshape(-1, CHUNK)
         ).reshape(K)
         counts = jnp.where(mask, counts, -1)
-        best = jnp.argmax(counts)
-        packet = jnp.stack(
+        top_c, top_i = jax.lax.top_k(counts, cfg.n_candidates)
+        packet = jnp.concatenate(
             [
-                best.astype(jnp.float32),
-                counts[best].astype(jnp.float32),
-                jnp.sum(feat_valid.astype(jnp.float32)),
+                top_i.astype(jnp.float32),
+                top_c.astype(jnp.float32),
+                jnp.sum(feat_valid.astype(jnp.float32))[None],
             ]
         )
-        # candidate covisibility group rides along so the host-side
+        # candidate covisibility groups ride along so the host-side
         # consistency check costs no extra device fetch (tunnel RTT ~32 ms)
-        group = ((covis[best] > 0) & kf_valid).at[best].set(True)
-        return ids, w, packet, group
+        groups = (covis[top_i] > 0) & kf_valid[None, :]
+        groups = groups.at[
+            jnp.arange(cfg.n_candidates), top_i
+        ].set(True)
+        return ids, w, packet, groups
 
     return kf_program
 
@@ -204,6 +221,58 @@ def _match_kf_pair(desc_a, valid_a, mp_a, desc_b, valid_b, mp_b):
     mutual = best_a_of_b[best_b] == jnp.arange(cost.shape[0])
     ok = (best_val < BIG) & mutual
     return best_b, best_val, ok
+
+
+@jax.jit
+def _verify_program(st: MapState, kf_id, cands, cam: Camera, hamming_max,
+                    chi2, radius):
+    """Full geometric verification of a BATCH of candidate keyframes:
+    mutual-best match -> reprojection-scored Sim3 RANSAC -> two-way pair
+    reprojection count, vmapped over candidates. One program, one fetch."""
+    M = st.mp_pos.shape[0]
+    desc_a = st.kf_desc[kf_id]
+    valid_a = st.kf_feat_valid[kf_id]
+    mp_a = st.kf_mp[kf_id]
+    qa, pa_ = st.kf_q[kf_id], st.kf_p[kf_id]
+    Xa = st.mp_pos[jnp.clip(mp_a, 0, M - 1)]
+    pa = quat.rotate(quat.conj(qa)[None], Xa - pa_[None])
+    sig_a = 1.2 ** st.kf_octave[kf_id].astype(jnp.float32)
+    uv_a = st.kf_uv[kf_id]
+    a_mp_valid = st.mp_valid[jnp.clip(mp_a, 0, M - 1)]
+
+    def one(cand, key):
+        best_b, best_val, ok = _match_kf_pair(
+            desc_a, valid_a, mp_a,
+            st.kf_desc[cand], st.kf_feat_valid[cand], st.kf_mp[cand],
+        )
+        ok = ok & (best_val <= hamming_max)
+        nm = jnp.sum(ok.astype(jnp.int32))
+        mp_b = st.kf_mp[cand][best_b]
+        ok = ok & a_mp_valid & st.mp_valid[jnp.clip(mp_b, 0, M - 1)]
+
+        # express in each keyframe's body frame (world estimates disagree
+        # exactly by the accumulated drift we want to measure)
+        Xb = st.mp_pos[jnp.clip(mp_b, 0, M - 1)]
+        qb, pb_ = st.kf_q[cand], st.kf_p[cand]
+        pb = quat.rotate(quat.conj(qb)[None], Xb - pb_[None])
+        sig_b = 1.2 ** st.kf_octave[cand][best_b].astype(jnp.float32)
+        uv_b = st.kf_uv[cand][best_b]
+        S, _inl, ninl = sim3_ransac_reproj(
+            pa, pb, uv_a, uv_b, sig_a, sig_b, ok, key, cam,
+            chi2=chi2, fix_scale=True,
+        )
+        # second stage: two-way per-match reprojection under the refined S
+        # (corrector.rs:330-378) — hallucinated Sim3s that pass RANSAC on
+        # self-similar structure leave <10 pair-consistent reprojections,
+        # genuine revisits 40+
+        nrp = _reproj_pair_inliers(st, kf_id, cand, best_b, ok, S, cam,
+                                   radius)
+        return nm, ninl, nrp, S
+
+    keys = jax.random.split(
+        jax.random.fold_in(jax.random.PRNGKey(7), kf_id), cands.shape[0]
+    )
+    return jax.vmap(one)(cands, keys)
 
 
 class LoopCloser:
@@ -270,6 +339,7 @@ class LoopCloser:
             st.kf_desc, st.kf_feat_valid, jnp.int32(kf_id),
             jnp.int32(self.cfg.recent_gap),
             jnp.int32(self.cfg.match_hamming_max),
+            jnp.int32(self.cfg.covis_exclude_min),
         )
         self.bow_ids = self.bow_ids.at[kf_id].set(bow_ids)
         self.bow_w = self.bow_w.at[kf_id].set(bow_w)
@@ -299,42 +369,56 @@ class LoopCloser:
             return st, False
 
         packet, group = jax.device_get((packet, group))
-        best, best_count, n_valid = np.asarray(packet)
+        arr = np.asarray(packet)
+        groups = np.asarray(group)
+        nc = self.cfg.n_candidates
+        cand_ids = arr[:nc].astype(int)
+        cand_counts = arr[nc:2 * nc]
+        n_valid = arr[2 * nc]
         # match-count floor: below it, even a true revisit has too little
         # overlap for the Sim3 + reprojection stages to confirm
-        if best_count < max(cfg.rerank_min_frac * n_valid, cfg.min_sim3_matches):
-            return st, False
-        cand = int(best)
-        self.stats = self.stats._replace(candidates_checked=self.stats.candidates_checked + 1)
+        floor = max(cfg.rerank_min_frac * n_valid, cfg.min_sim3_matches)
 
-        if not self._check_consistency(kf_id, np.asarray(group)):
-            return st, False
-        self.stats = self.stats._replace(consistent=self.stats.consistent + 1)
+        # consistency chains update for every gate-passed candidate group
+        # (the reference keeps chains per candidate GROUP across the whole
+        # candidate list — detector.rs:68-167)
+        to_try = []
+        for r in range(nc):
+            if cand_counts[r] < floor or cand_ids[r] < 0:
+                continue
+            self.stats = self.stats._replace(
+                candidates_checked=self.stats.candidates_checked + 1)
+            chain = self._consistency_chain(kf_id, groups[r])
+            if chain >= cfg.consistency_needed:
+                to_try.append(int(cand_ids[r]))
+        if to_try:
+            self.stats = self.stats._replace(
+                consistent=self.stats.consistent + 1)
 
-        S_rel = self._verify(st, kf_id, cand, cam)
-        if S_rel is None:
+        if not to_try:
             return st, False
-        self.stats = self.stats._replace(verified=self.stats.verified + 1)
+        passed = self._verify_all(st, kf_id, to_try, cam)
+        for rank, cand in enumerate(to_try):
+            if rank not in passed:
+                continue
+            S_rel = passed[rank]
+            self.stats = self.stats._replace(verified=self.stats.verified + 1)
 
-        cross_map = int(st.kf_map_id[cand]) != int(st.kf_map_id[kf_id])
-        if cross_map:
-            st = self._merge_maps(st, kf_id, cand, S_rel)
-            # refine the welded map: pose graph over both segments + global
-            # BA (the rigid fold leaves the seam's visual residual intact)
+            cross_map = int(st.kf_map_id[cand]) != int(st.kf_map_id[kf_id])
+            if cross_map:
+                st = self._merge_maps(st, kf_id, cand, S_rel)
+                # refine the welded map: pose graph over both segments +
+                # global BA (the rigid fold leaves the seam's visual
+                # residual intact)
             st = self._correct(st, kf_id, cand, S_rel, cam)
             self.stats = self.stats._replace(corrected=self.stats.corrected + 1)
             self.last_loop_kf = kf_id
             self._consistency_groups.clear()
             return st, True
-
-        st = self._correct(st, kf_id, cand, S_rel, cam)
-        self.stats = self.stats._replace(corrected=self.stats.corrected + 1)
-        self.last_loop_kf = kf_id
-        self._consistency_groups.clear()
-        return st, True
+        return st, False
 
     # ------------------------------------------------------------------
-    def _check_consistency(self, kf_id: int, cand_group: np.ndarray) -> bool:
+    def _consistency_chain(self, kf_id: int, cand_group: np.ndarray) -> int:
         """Candidate region must be re-detected over `consistency_needed`
         consecutive keyframes (reference: ConsistencyChecker, detector.rs:
         68-167): PER-GROUP chains — each previous group carries its own
@@ -356,60 +440,43 @@ class LoopCloser:
         self._consistency_groups = [
             (g, c, k) for (g, c, k) in self._consistency_groups
             if kf_id - k <= 3
-        ][-16:]
-        return chain >= self.cfg.consistency_needed
+        ][-32:]
+        return chain
 
     def _verify(self, st: MapState, kf_id: int, cand: int, cam: Camera):
-        """Descriptor match + Sim3 RANSAC between the two keyframes.
-        Returns S (cand_body <- cur_body) or None.
-        (reference: verify_loop_candidate, corrector.rs:116)"""
+        """Single-candidate wrapper over _verify_all (kept for tests)."""
+        res = self._verify_all(st, kf_id, [cand], cam)
+        return res[0] if res else None
+
+    def _verify_all(self, st: MapState, kf_id: int, cands: list, cam: Camera):
+        """Geometric verification of ALL candidates in one device program
+        and ONE fetch (per-candidate `int(jnp.sum(...))` gating costs 3+
+        tunnel round trips each; with up to n_candidates per keyframe the
+        sync cost would dominate the whole service).
+
+        Per candidate: mutual-best descriptor match + reprojection-scored
+        Sim3 RANSAC + two-way per-match reprojection verification
+        (reference: verify_loop_candidate, corrector.rs:116). Returns
+        {rank: Sim3} for every candidate that passed all three gates;
+        Sim3 rows stay on device."""
         cfg = self.cfg
-        best_b, best_val, ok = _match_kf_pair(
-            st.kf_desc[kf_id], st.kf_feat_valid[kf_id], st.kf_mp[kf_id],
-            st.kf_desc[cand], st.kf_feat_valid[cand], st.kf_mp[cand],
+        nc = len(cands)
+        cand_v = jnp.asarray(cands, jnp.int32)
+        nm, ninl, nrp, S = _verify_program(
+            st, jnp.int32(kf_id), cand_v, cam,
+            jnp.int32(cfg.match_hamming_max), jnp.float32(cfg.sim3_chi2),
+            jnp.float32(cfg.reproj_radius),
         )
-        ok = ok & (best_val <= cfg.match_hamming_max)
-        n_matches = int(jnp.sum(ok))
-        if n_matches < cfg.min_sim3_matches:
-            return None
-
-        M = st.mp_pos.shape[0]
-        mp_a = st.kf_mp[kf_id]
-        mp_b = st.kf_mp[cand][best_b]
-        Xa = st.mp_pos[jnp.clip(mp_a, 0, M - 1)]
-        Xb = st.mp_pos[jnp.clip(mp_b, 0, M - 1)]
-        ok = ok & st.mp_valid[jnp.clip(mp_a, 0, M - 1)] & st.mp_valid[jnp.clip(mp_b, 0, M - 1)]
-
-        # express in each keyframe's body frame (world estimates disagree
-        # exactly by the accumulated drift we want to measure)
-        qa, pa_ = st.kf_q[kf_id], st.kf_p[kf_id]
-        qb, pb_ = st.kf_q[cand], st.kf_p[cand]
-        pa = quat.rotate(quat.conj(qa)[None], Xa - pa_[None])
-        pb = quat.rotate(quat.conj(qb)[None], Xb - pb_[None])
-
-        key = jax.random.PRNGKey(kf_id)
-        sig_a = 1.2 ** st.kf_octave[kf_id].astype(jnp.float32)
-        sig_b = 1.2 ** st.kf_octave[cand][best_b].astype(jnp.float32)
-        S, inl, n_inl = sim3_ransac_reproj(
-            pa, pb, st.kf_uv[kf_id], st.kf_uv[cand][best_b], sig_a, sig_b,
-            ok, key, cam, chi2=cfg.sim3_chi2, fix_scale=True,
-        )
-        if int(n_inl) < cfg.min_sim3_inliers:
-            return None
-
-        # ---- second stage: two-way reprojection verification
-        # (corrector.rs:330-378). Measured on the self-similar synthetic
-        # room: hallucinated Sim3s that pass 3D-3D RANSAC with 15+ inliers
-        # leave < 10 pair-consistent reprojections, genuine revisits 40+.
-        n_reproj = int(
-            _reproj_pair_inliers(
-                st, jnp.int32(kf_id), jnp.int32(cand), best_b, ok, S, cam,
-                jnp.float32(cfg.reproj_radius),
-            )
-        )
-        if n_reproj < cfg.reproj_min_inliers:
-            return None
-        return S
+        nm, ninl, nrp = jax.device_get((nm, ninl, nrp))  # ONE fetch
+        out = {}
+        for r in range(nc):
+            if (
+                nm[r] >= cfg.min_sim3_matches
+                and ninl[r] >= cfg.min_sim3_inliers
+                and nrp[r] >= cfg.reproj_min_inliers
+            ):
+                out[r] = jax.tree.map(lambda a, r=r: a[r], S)
+        return out
 
     def _merge_maps(self, st: MapState, kf_id: int, cand: int, S_rel: Sim3):
         """Fold the current (newer) map into the candidate's (older) map.

@@ -40,7 +40,17 @@ def _projection_matrix(cam: Camera, q_wc, p_wc):
 
 
 def _dlt(P1, P2, uv1, uv2):
-    """Two-view DLT: (4,) homogeneous point via SVD of the 4x4 system."""
+    """Two-view DLT via row-normalized inhomogeneous least squares.
+
+    The textbook form (null vector of the 4x4 system by SVD — reference
+    triangulation.rs:715-760) costs ~7.7 ms for a 1024-feature batch on
+    TPU: tiny batched SVDs lower to sequential Jacobi sweeps. Fixing the
+    homogeneous scale (X_w = 1) instead gives a 3-unknown least-squares
+    problem whose 3x3 normal equations solve in closed form (adjugate) —
+    pure arithmetic, microseconds for the whole batch. Rows are unit-
+    normalized first (the standard conditioning fix); the only case the
+    two differ materially is points near infinity, which the depth/
+    parallax gates reject anyway."""
     A = jnp.stack(
         [
             uv1[0] * P1[2] - P1[0],
@@ -49,9 +59,23 @@ def _dlt(P1, P2, uv1, uv2):
             uv2[1] * P2[2] - P2[1],
         ]
     )
-    _, _, Vt = jnp.linalg.svd(A)
-    X = Vt[-1]
-    return X[:3] / jnp.where(jnp.abs(X[3]) > 1e-9, X[3], 1e-9)
+    A = A / jnp.linalg.norm(A, axis=1, keepdims=True).clip(1e-9)
+    B, d = A[:, :3], A[:, 3]
+    M = B.T @ B
+    b = -B.T @ d
+    # explicit adjugate solve
+    c00 = M[1, 1] * M[2, 2] - M[1, 2] * M[2, 1]
+    c01 = M[0, 2] * M[2, 1] - M[0, 1] * M[2, 2]
+    c02 = M[0, 1] * M[1, 2] - M[0, 2] * M[1, 1]
+    c10 = M[1, 2] * M[2, 0] - M[1, 0] * M[2, 2]
+    c11 = M[0, 0] * M[2, 2] - M[0, 2] * M[2, 0]
+    c12 = M[0, 2] * M[1, 0] - M[0, 0] * M[1, 2]
+    c20 = M[1, 0] * M[2, 1] - M[1, 1] * M[2, 0]
+    c21 = M[0, 1] * M[2, 0] - M[0, 0] * M[2, 1]
+    c22 = M[0, 0] * M[1, 1] - M[0, 1] * M[1, 0]
+    det = M[0, 0] * c00 + M[0, 1] * c10 + M[0, 2] * c20
+    adj = jnp.asarray([[c00, c01, c02], [c10, c11, c12], [c20, c21, c22]])
+    return (adj @ b) / jnp.where(jnp.abs(det) > 1e-12, det, 1e-12)
 
 
 def _pair_triangulate(st: MapState, kf_id, q1, p1, n_id, pair_ok, cam: Camera,
