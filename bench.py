@@ -167,7 +167,12 @@ def main():
     from orbslam3_tpu.models.slam import SlamConfig
 
     world, times, frames, imu = build_world(8.0)
-    slam_cfg = SlamConfig(use_imu=True, kf_max_frames=4)
+    # ONE static config for every run in this file: slam_step is jitted
+    # with cfg static, so any field change (even lost_timeout, used only
+    # when tracking drops) forces a full recompile of the fused program —
+    # previously the revisit pass recompiled everything INSIDE its timed
+    # window and reported ~1 fps
+    slam_cfg = SlamConfig(use_imu=True, kf_max_frames=4, lost_timeout=5.0)
     vocab = train_world_vocab(world, frames)
 
     # ---- warmup pass: compile everything (fused step, VI-BA, IMU init,
@@ -196,7 +201,7 @@ def main():
     # where loop closing must actually pay (VERDICT r1 weak #3: the bench
     # never exercised it). Same sequence with and without the loop closer.
     rw, rtimes, rframes, rimu = build_revisit_world()
-    r_cfg = SlamConfig(use_imu=True, kf_max_frames=4, lost_timeout=5.0)
+    r_cfg = slam_cfg
     r_vocab = train_world_vocab(rw, rframes)
     slam_r_loop, fps_r, _ = run_pipeline(
         rw, rtimes, rframes, rimu, r_cfg, vocab=r_vocab

@@ -29,7 +29,7 @@ class OrbConfig(NamedTuple):
     fast_threshold_min: float = 7.0
     cell: int = 32
     k_cell: int = 6
-    use_pallas_fast: bool = False  # Pallas fused FAST+NMS (TPU only; exact)
+    use_pallas_fast: bool = True  # Pallas fused FAST+NMS (TPU only; exact)
 
 
 class Features(NamedTuple):
@@ -60,7 +60,9 @@ def level_quotas(cfg: OrbConfig):
 @partial(jax.jit, static_argnames=("cfg",))
 def detect_orb(img, cfg: OrbConfig = OrbConfig()) -> Features:
     """(H, W) f32 grayscale -> Features with n_features slots."""
-    return _detect_impl(img, cfg)
+    levels = pyr_ops.build_pyramid(img, cfg.n_levels, cfg.scale_factor)
+    scores = [s[0] for s in _score_maps_batched([lv[None] for lv in levels], cfg)]
+    return _select_impl(levels, scores, cfg)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -68,39 +70,60 @@ def detect_orb_pair(left, right, cfg: OrbConfig = OrbConfig()):
     """Detect on BOTH stereo images in one batched program.
 
     The per-level kernels are small (kernel-launch-bound across 8 pyramid
-    levels — BASELINE.md); vmapping the two same-shape images halves the
+    levels — BASELINE.md); batching the two same-shape images halves the
     launch count per frame with zero padding overhead (unlike batching
     pyramid LEVELS — a measured-slower variant; see ARCHITECTURE.md).
+    Scores are computed on the batched (2, h, w) stack directly because
+    the Pallas FAST kernel cannot be vmapped (ANY-memspace input spec);
+    selection/description vmap over the pair.
     Returns (Features_left, Features_right).
     """
-    f = jax.vmap(lambda im: _detect_impl(im, cfg))(jnp.stack([left, right]))
+    levels_b = jax.vmap(
+        lambda im: pyr_ops.build_pyramid(im, cfg.n_levels, cfg.scale_factor)
+    )(jnp.stack([left, right]))
+    scores_b = _score_maps_batched(levels_b, cfg)
+    f = jax.vmap(lambda lvls, scs: _select_impl(list(lvls), list(scs), cfg))(
+        tuple(levels_b), tuple(scores_b)
+    )
     featL = jax.tree.map(lambda a: a[0], f)
     featR = jax.tree.map(lambda a: a[1], f)
     return featL, featR
 
 
-def _detect_impl(img, cfg: OrbConfig) -> Features:
-    levels = pyr_ops.build_pyramid(img, cfg.n_levels, cfg.scale_factor)
+def _score_maps_batched(levels_b, cfg: OrbConfig):
+    """Per-level NMS'd dual-threshold FAST scores for a batch of pyramids.
+
+    levels_b: list over pyramid levels of (B, h_lv, w_lv) images.
+    """
+    use_pallas = cfg.use_pallas_fast and jax.default_backend() == "tpu"
+    outs = []
+    for lv_imgs in levels_b:
+        if use_pallas:
+            from orbslam3_tpu.ops.fast_pallas import fast_nms_pallas_batch
+
+            s = fast_nms_pallas_batch(
+                lv_imgs, cfg.fast_threshold, cfg.fast_threshold_min
+            )
+        else:
+            def one(im):
+                score = fast_ops.fast_score(im, cfg.fast_threshold)
+                # low-threshold fallback where the strict map is empty-ish:
+                # attenuated low-threshold max, so weak corners only win
+                # where no strong corner exists in the cell.
+                score_lo = fast_ops.fast_score(im, cfg.fast_threshold_min) * 1e-3
+                return fast_ops.nms3x3(jnp.maximum(score, score_lo))
+
+            s = jax.vmap(one)(lv_imgs)
+        outs.append(s)
+    return outs
+
+
+def _select_impl(levels, scores, cfg: OrbConfig) -> Features:
     quotas = level_quotas(cfg)
 
     parts = []
-    use_pallas = cfg.use_pallas_fast and jax.default_backend() == "tpu"
-    for lv, lv_img in enumerate(levels):
+    for lv, (lv_img, score) in enumerate(zip(levels, scores)):
         scale = cfg.scale_factor**lv
-        if use_pallas:
-            from orbslam3_tpu.ops.fast_pallas import fast_nms_pallas
-
-            score = fast_nms_pallas(
-                lv_img, cfg.fast_threshold, cfg.fast_threshold_min
-            )
-        else:
-            score = fast_ops.fast_score(lv_img, cfg.fast_threshold)
-            # low-threshold fallback where the strict map is empty-ish:
-            # attenuated low-threshold max, so weak corners only win where
-            # no strong corner exists in the cell.
-            score_lo = fast_ops.fast_score(lv_img, cfg.fast_threshold_min) * 1e-3
-            score = jnp.maximum(score, score_lo)
-            score = fast_ops.nms3x3(score)
         score = fast_ops.mask_border(score, BORDER)
         ys, xs, resp = fast_ops.select_keypoints(
             score, cell=max(8, int(cfg.cell / scale ** 0.5)), k_cell=cfg.k_cell, n_out=quotas[lv]

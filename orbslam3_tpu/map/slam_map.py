@@ -358,12 +358,22 @@ def _remove_map_points(st: MapState, bad_mask, max_cull: int = 4096):
     obs = st.mp_obs_kf[cull_ids]  # (C, O)
     obs_ok = (obs >= 0) & cull_ok[:, None]
     obs_safe = jnp.where(obs_ok, obs, 0)
-    pair_valid = obs_ok[:, :, None] & obs_ok[:, None, :]
-    a = jnp.broadcast_to(obs_safe[:, :, None], pair_valid.shape)
-    b = jnp.broadcast_to(obs_safe[:, None, :], pair_valid.shape)
-    not_self = a != b
-    dec = (pair_valid & not_self).astype(jnp.int32)
-    covis = st.covis.at[a.reshape(-1), b.reshape(-1)].add(-dec.reshape(-1))
+    # covis decrement as a one-hot MXU matmul instead of a (C*O*O)-element
+    # scatter-add (TPU scatters ~14 ns/elt made this 13.7 ms even with
+    # nothing to cull): H[c, k] = 1 iff culled point c is observed by kf k;
+    # D = H^T H counts, per keyframe pair, the shared observations lost.
+    # Entries are <= C and O <= 16, exact in bf16xbf16->f32 accumulation.
+    K = st.covis.shape[0]
+    onehot = (obs_safe[:, :, None] == jnp.arange(K)[None, None, :]) & obs_ok[
+        :, :, None
+    ]
+    H = jnp.sum(onehot.astype(jnp.bfloat16), axis=1)  # (C, K)
+    D = jnp.dot(H.T, H, preferred_element_type=jnp.float32).astype(jnp.int32)
+    # the diagonal is each keyframe's own culled-obs count (the o == o'
+    # self pairs the scatter formulation excluded via a != b); obs lists
+    # hold each keyframe at most once, so off-diagonal needs no correction
+    D = D - jnp.diag(jnp.diag(D))
+    covis = st.covis - D
 
     cleared = jnp.where(bad_mask[:, None], -1, st.mp_obs_kf)
     return st._replace(

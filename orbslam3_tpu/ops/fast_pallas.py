@@ -39,7 +39,7 @@ def _kernel(hbm_ref, out_ref, *, thr_hi: float, thr_lo: float, tile: int):
         )
         dma.start()
         dma.wait()
-        _compute(scratch[:], out_ref, thr_hi, thr_lo, TH, W)
+        out_ref[:] = _compute(scratch[:], thr_hi, thr_lo, TH, W)
 
     pl.run_scoped(
         body,
@@ -48,7 +48,32 @@ def _kernel(hbm_ref, out_ref, *, thr_hi: float, thr_lo: float, tile: int):
     )
 
 
-def _compute(img, out_ref, thr_hi, thr_lo, TH, W):
+def _kernel_batched(hbm_ref, out_ref, *, thr_hi: float, thr_lo: float,
+                    tile: int):
+    """Grid (B, rows): same as _kernel with a leading batch coordinate.
+    Needed because pl.BlockSpec in ANY memory space cannot be vmapped —
+    the stereo pair (and any batched caller) runs this variant instead."""
+    TH = tile
+    W = out_ref.shape[2]
+
+    def body(scratch, sem):
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+        dma = pltpu.make_async_copy(
+            hbm_ref.at[b, pl.ds(i * TH, TH + 2 * HALO), :], scratch, sem
+        )
+        dma.start()
+        dma.wait()
+        out_ref[0] = _compute(scratch[:], thr_hi, thr_lo, TH, W)
+
+    pl.run_scoped(
+        body,
+        scratch=pltpu.VMEM((TH + 2 * HALO, W), jnp.float32),
+        sem=pltpu.SemaphoreType.DMA(()),
+    )
+
+
+def _compute(img, thr_hi, thr_lo, TH, W):
 
     def score_at(thr):
         # score for rows [HALO-1, HALO+TH+1) x full width: the +-1 ring the
@@ -91,7 +116,7 @@ def _compute(img, out_ref, thr_hi, thr_lo, TH, W):
         for dx in (-1, 0, 1):
             sh = pltpu.roll(rows, (-dx) % rows.shape[1], 1) if dx else rows
             mx = jnp.maximum(mx, sh)
-    out_ref[:] = jnp.where(ctr >= mx, ctr, 0.0)
+    return jnp.where(ctr >= mx, ctr, 0.0)
 
 
 @partial(jax.jit, static_argnames=("thr_hi", "thr_lo", "tile"))
@@ -116,3 +141,30 @@ def fast_nms_pallas(img, thr_hi: float = 20.0, thr_lo: float = 7.0, tile: int = 
         out_specs=pl.BlockSpec((tile, WT), lambda i: (i, 0), memory_space=pltpu.VMEM),
     )(padded)
     return out[:h, HALO : HALO + w]
+
+
+@partial(jax.jit, static_argnames=("thr_hi", "thr_lo", "tile"))
+def fast_nms_pallas_batch(imgs, thr_hi: float = 20.0, thr_lo: float = 7.0,
+                          tile: int = 64):
+    """(B, H, W) f32 -> (B, H, W) batched variant of fast_nms_pallas.
+
+    One pallas_call with grid (B, rows) — the ANY-memory-space input spec
+    is incompatible with vmap, so batching is explicit here."""
+    b, h, w = imgs.shape
+    hp = (-h) % tile
+    WT = -(-(w + 2 * HALO) // 128) * 128
+    padded = jnp.pad(
+        imgs, ((0, 0), (HALO, HALO + hp), (HALO, WT - w - HALO)), mode="edge"
+    )
+    Hp = h + hp
+
+    out = pl.pallas_call(
+        partial(_kernel_batched, thr_hi=thr_hi, thr_lo=thr_lo, tile=tile),
+        out_shape=jax.ShapeDtypeStruct((b, Hp, WT), jnp.float32),
+        grid=(b, Hp // tile),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, tile, WT), lambda bi, i: (bi, i, 0), memory_space=pltpu.VMEM
+        ),
+    )(padded)
+    return out[:, :h, HALO : HALO + w]
