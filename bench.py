@@ -46,8 +46,11 @@ def run_pipeline(world, times, frames, imu, slam_cfg, vocab=None, chunk=4,
 
     from orbslam3_tpu.models.fused import FusedSlam
 
+    # warmup=True: compile detection/verify/pose-graph/GBA at construction
+    # (untimed) — otherwise the first real loop closure pays 60-85 s of
+    # first-compiles inside the timed window
     slam = FusedSlam(world.cam, slam_cfg, service_every=8, chunk=chunk,
-                     vocabulary=vocab)
+                     vocabulary=vocab, warmup=vocab is not None)
     for i in range(timed_from):
         g, a, d = imu[i]
         slam.process_frame(frames[i][0], frames[i][1], g, a, d, float(times[i]))

@@ -528,7 +528,7 @@ class FusedSlam:
     """
 
     def __init__(self, cam: Camera, cfg, vocabulary=None, service_every: int = 8,
-                 chunk: int = 1):
+                 chunk: int = 1, warmup: bool = False):
         from orbslam3_tpu.map.slam_map import empty_map
 
         self.cam = cam
@@ -558,12 +558,19 @@ class FusedSlam:
         # matures, with priors phased out by map age)
         self._imu_init_time: float | None = None
         self._imu_phase = 0  # 0 uninit, 1 init, 2 refined@5s, 3 refined@15s
+        # async n_kf snapshot for one-round-delayed keyframe services
+        self._nkf_inflight = None
         self._last_t = 0.0
         self.loop_closer = None
         if vocabulary is not None:
             from orbslam3_tpu.loop.closer import LoopCloser
 
             self.loop_closer = LoopCloser(vocabulary)
+            if warmup:
+                # compile detection/verify/pose-graph/GBA NOW instead of
+                # at the first real loop closure mid-sequence (measured
+                # 60-85 s first-compile stalls inside timed windows)
+                self.loop_closer.warmup(self.map, self.cam)
         self._n_kf_seen = 0
 
     def _pad_imu(self, gyro, acc, dts):
@@ -648,6 +655,8 @@ class FusedSlam:
             self._n_kf_seen = int(self.map.n_kf)
             self._kf_remaps.append(km)
             self.compactions += 1
+            # the in-flight n_kf snapshot indexes pre-compaction rows
+            self._nkf_inflight = None
         # resync bounds to the true (possibly just-compacted) counts
         self._kf_ub = int(self.map.n_kf)
         self._mp_ub = int(self.map.n_mp)
@@ -679,7 +688,7 @@ class FusedSlam:
         if self.loop_closer is not None or (
             self.cfg.use_imu and not self.imu_initialized
         ):
-            self._host_services()
+            self._host_services(final=True)
         self._drain_loop_closer()
 
     def _drain_loop_closer(self):
@@ -696,18 +705,38 @@ class FusedSlam:
             )
 
     # ------------------------------------------------------------------
-    def _host_services(self):
-        """Rare host-side work on lazily-synced state."""
+    def _host_services(self, final: bool = False):
+        """Rare host-side work on lazily-synced state.
+
+        Keyframe discovery is pipelined one service round deep: reading
+        `int(self.map.n_kf)` here would block the host on the chunk
+        flushed a moment ago (device compute + tunnel RTT, every round —
+        measured ~1/3 of total throughput). Instead each round acts on the
+        count snapshotted LAST round and launches this round's snapshot
+        asynchronously. Rows below the stale count are fully written, so
+        staleness only delays a keyframe's loop-closing service by one
+        round — the detection packet itself is already pipelined the same
+        way. `final=True` (finalize) reads synchronously and drains."""
         import numpy as np
 
         cfg = self.cfg
-        if cfg.use_imu and not self.imu_initialized:
+        # `+ 0` copies the scalar into a buffer of its own: self.map is
+        # DONATED into the next slam_step, which would delete the raw
+        # n_kf handle before next round reads it
+        snap, self._nkf_inflight = self._nkf_inflight, self.map.n_kf + jnp.int32(0)
+        try:
+            self._nkf_inflight.copy_to_host_async()
+        except AttributeError:
+            pass
+        if final or snap is None:
             n_kf = int(self.map.n_kf)
+        else:
+            n_kf = int(snap)
+        if cfg.use_imu and not self.imu_initialized:
             if n_kf >= cfg.imu_init_kfs:
                 self._try_imu_init(n_kf)
         elif self._imu_refine_due():
             self._imu_refine()
-        n_kf = int(self.map.n_kf)
         new_kfs = self._n_kf_seen < n_kf
         while self._n_kf_seen < n_kf:
             k = self._n_kf_seen

@@ -19,3 +19,9 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# NOTE: do NOT enable the persistent compile cache for CPU tests here.
+# Tried for suite-runtime relief (VERDICT r1 weak #9): XLA:CPU AOT results
+# written under the forced-host-platform config record different machine
+# features than the loading process detects (+prefer-no-gather mismatch),
+# and reloading them crashed the suite (cpu_aot_loader SIGILL warning).

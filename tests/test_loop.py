@@ -373,3 +373,49 @@ class TestScaleEstimation:
         out, _ = solve_pose_graph(prob, iters=15, fix_scale=False)
         # final node pulled out to ~2.4 (5 steps x 0.48)
         assert abs(float(out.t[-1, 0]) - 2.4) < 0.05, np.asarray(out.t)
+
+
+@pytest.mark.slow
+def test_loop_edges_accumulate_and_remap():
+    """Past corrections stay in the essential graph (reference keeps loop
+    edges forever, pose_graph.rs:113-197): after the e2e correction the
+    edge is stored, survives a second _correct call (fixed solve shape),
+    and follows compaction remaps / is dropped when an endpoint is culled."""
+    st, lm_desc, poses1, poses2 = build_revisit_map()
+    corpus = np.concatenate(
+        [lm_desc, RNG.integers(0, 256, (2000, 32)).astype(np.uint8)]
+    )
+    voc = vb.train_vocabulary(corpus, k=6, levels=3)
+    closer = LoopCloser(voc, LoopConfig(recent_gap=4, consistency_needed=2,
+                                        covis_edge_weight_min=10))
+    for k in range(int(st.n_kf)):
+        st, _ = closer.on_keyframe(st, k, CAM)
+    assert closer.stats.corrected >= 1
+    assert len(closer._loop_edges) == closer.stats.corrected
+    i0, j0 = closer._loop_edges[0][:2]
+    assert 0 <= i0 < j0 < int(st.n_kf)
+
+    # a later correction re-solves WITH the stored edge (and records its own)
+    n_before = len(closer._loop_edges)
+    st2 = closer._correct(st, j0, i0, Sim3.identity(), CAM)
+    assert len(closer._loop_edges) == n_before + 1
+    assert np.isfinite(np.asarray(st2.kf_p)).all()
+
+    # compaction remap: shifting remaps endpoints; culling an endpoint
+    # drops the edge
+    K = st.kf_valid.shape[0]
+    km = (K - 1) - np.arange(K)  # in-bounds permutation of every row
+    closer.remap_rows(km)
+    assert closer._loop_edges[0][0] == K - 1 - i0
+    assert closer._loop_edges[0][1] == K - 1 - j0
+    km2 = np.arange(K)
+    km2[K - 1 - i0] = -1  # cull the first edge's candidate endpoint
+    expect = sum(
+        1 for (i, j, *_) in closer._loop_edges
+        if i != K - 1 - i0 and j != K - 1 - i0
+    )
+    closer.remap_rows(km2)
+    assert len(closer._loop_edges) == expect
+    assert all(
+        K - 1 - i0 not in (i, j) for (i, j, *_) in closer._loop_edges
+    )
