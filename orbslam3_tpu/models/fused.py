@@ -40,6 +40,7 @@ from orbslam3_tpu.models.local_mapper import (
     build_ba_problem,
     build_vi_ba_problem,
 )
+import orbslam3_tpu.models.policy as policy
 from orbslam3_tpu.models.tracker import match_local_map, update_point_counters
 from orbslam3_tpu.optim.local_ba import solve_local_ba
 from orbslam3_tpu.optim.vi_ba import solve_vi_ba
@@ -296,22 +297,14 @@ def _slam_step_core(st: sm.MapState, ts: TrackState, left_u8, right_u8,
     n_stereo = jnp.sum(has_depth.astype(jnp.int32))
     want_init = (mode == MODE_NOT_INIT) & (n_stereo >= 50)
     frames_since = ts.frames_since_kf + 1
-    policy_kf = (mode == MODE_OK) & (
-        (frames_since >= cfg.kf_max_frames)
-        | (
-            (n_inl < cfg.kf_inlier_ratio * ts.ref_inliers.astype(jnp.float32))
-            & (n_inl > cfg.kf_min_inliers)
-        )
+    policy_kf = policy.keyframe_wanted(
+        mode == MODE_OK, frames_since, n_inl, ts.ref_inliers,
+        cfg.kf_max_frames, cfg.kf_inlier_ratio, cfg.kf_min_inliers,
     )
     if cfg.insert_kfs_lost:
-        # keep creating keyframes on IMU dead-reckoning while RecentlyLost
-        # (reference mInsertKFsLost, tracker.rs:232-268) — bridges brief
-        # occlusions so the map survives instead of resetting
-        policy_kf = policy_kf | (
-            (mode == MODE_RECENTLY_LOST)
-            & ts.imu_ok
-            & have_imu
-            & (frames_since >= cfg.kf_max_frames)
+        policy_kf = policy_kf | policy.keyframe_wanted_lost(
+            mode == MODE_RECENTLY_LOST, ts.imu_ok, have_imu,
+            frames_since, cfg.kf_max_frames,
         )
     # capacity guard: never insert past the keyframe array (XLA scatter
     # would silently drop rows while counters advance -> corrupted map)
