@@ -216,11 +216,17 @@ def main():
         _, ps, _ = slam.trajectory_arrays()
         return ate_rmse(ps, gt_rp[: len(ps)])
 
+    # host service-time share of the run (VERDICT r1 item 6): how much of
+    # wall time went to pipeline-sync services vs streaming dispatch
+    tr = slam_r_loop.timing_report()
+    svc_s = sum(v["total_s"] for k, v in tr.items() if k != "dispatch_chunk")
+    n_timed = len(rtimes) - 8
     revisit = {
         "revisit_ate_loop_m": round(r_ate(slam_r_loop), 4),
         "revisit_ate_odometry_m": round(r_ate(slam_r_odo), 4),
         "revisit_loop_corrections": int(slam_r_loop.loop_closer.stats.corrected),
         "revisit_fps": round(fps_r, 2),
+        "revisit_service_share": round(svc_s / (n_timed / fps_r), 3),
     }
 
     fpf = flops_per_frame(world, slam_cfg)

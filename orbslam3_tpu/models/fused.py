@@ -565,6 +565,34 @@ class FusedSlam:
                 # 60-85 s first-compile stalls inside timed windows)
                 self.loop_closer.warmup(self.map, self.cam)
         self._n_kf_seen = 0
+        # in-pipeline wall-time accounting (reference TimingStats analog,
+        # timing.rs): stage -> [total_s, calls]. Host wall time — device
+        # work is async, so "dispatch" measures host cost and "services"
+        # measures the pipeline syncs (the throughput killers on a tunnel)
+        self.timing: dict[str, list] = {}
+
+    def _tic(self):
+        import time
+
+        return time.perf_counter()
+
+    def _toc(self, name: str, t0: float):
+        import time
+
+        cell = self.timing.setdefault(name, [0.0, 0])
+        cell[0] += time.perf_counter() - t0
+        cell[1] += 1
+
+    def timing_report(self) -> dict:
+        """Per-stage host wall time: {stage: {total_s, calls, mean_ms}}."""
+        return {
+            k: {
+                "total_s": round(v[0], 4),
+                "calls": v[1],
+                "mean_ms": round(1e3 * v[0] / max(v[1], 1), 3),
+            }
+            for k, v in sorted(self.timing.items())
+        }
 
     def _pad_imu(self, gyro, acc, dts):
         import numpy as np
@@ -615,7 +643,9 @@ class FusedSlam:
         if need_services and self._frames % self.service_every == 0:
             if self._pending:
                 self.flush()
+            t0 = self._tic()
             self._host_services()
+            self._toc("host_services", t0)
         return out
 
     def _compact_due(self) -> bool:
@@ -660,12 +690,14 @@ class FusedSlam:
 
         if not self._pending:
             return None
+        t0 = self._tic()
         batch = self._pending
         self._pending = []
         stacked = [jnp.asarray(np.stack([b[i] for b in batch])) for i in range(7)]
         self.map, self.ts, outs = slam_step_chunk(
             self.map, self.ts, *stacked, self.cam, self.cfg
         )
+        self._toc("dispatch_chunk", t0)
         # keep the batched FrameOut as ONE device handle; slicing per frame
         # here would issue dozens of tiny device ops and resurrect the
         # dispatch overhead the chunking removed. Host unpacks lazily.
@@ -727,9 +759,13 @@ class FusedSlam:
             n_kf = int(snap)
         if cfg.use_imu and not self.imu_initialized:
             if n_kf >= cfg.imu_init_kfs:
+                t0 = self._tic()
                 self._try_imu_init(n_kf)
+                self._toc("imu_init", t0)
         elif self._imu_refine_due():
+            t0 = self._tic()
             self._imu_refine()
+            self._toc("imu_refine", t0)
         new_kfs = self._n_kf_seen < n_kf
         while self._n_kf_seen < n_kf:
             k = self._n_kf_seen
@@ -743,9 +779,11 @@ class FusedSlam:
                 # delta measured at row k is exact even though the pipelined
                 # closer acts on keyframe k-1's detection packet here)
                 q_old, p_old = self.map.kf_q[k], self.map.kf_p[k]
+                t0 = self._tic()
                 self.map, corrected = self.loop_closer.on_keyframe(
                     self.map, k, self.cam
                 )
+                self._toc("loop_correct" if corrected else "loop_service", t0)
                 if corrected:
                     self.ts = _retarget_tracker(
                         self.ts, q_old, p_old,
@@ -755,7 +793,9 @@ class FusedSlam:
         if not new_kfs:
             # idle round: act on the in-flight detection packet
             self._drain_loop_closer()
+        t0 = self._tic()
         self._maybe_compact()
+        self._toc("compaction", t0)
 
     def _per_keyframe_services(self, k):
         """Host-side per-keyframe work. Map maintenance (triangulation,
