@@ -570,6 +570,12 @@ class FusedSlam:
         # work is async, so "dispatch" measures host cost and "services"
         # measures the pipeline syncs (the throughput killers on a tunnel)
         self.timing: dict[str, list] = {}
+        from orbslam3_tpu.utils.logging import Throttle, get_logger
+
+        self._log = get_logger("orbslam3_tpu.fused")
+        # counts SERVICE ROUNDS (one per service_every frames): ~12 rounds
+        # x default 8 ≈ the reference's every-100-frames throttle
+        self._log_throttle = Throttle(max(100 // max(service_every, 1), 1))
 
     def _tic(self):
         import time
@@ -796,6 +802,14 @@ class FusedSlam:
         t0 = self._tic()
         self._maybe_compact()
         self._toc("compaction", t0)
+        # throttled run log — only host-side counters, no device sync
+        if self._log_throttle.ready():
+            self._log.info(
+                "frame=%d t=%.2fs kfs_seen=%d imu=%s compactions=%d loops=%s",
+                self._frames, self._last_t, self._n_kf_seen,
+                self.imu_initialized, self.compactions,
+                self.loop_closer.stats.corrected if self.loop_closer else "-",
+            )
 
     def _per_keyframe_services(self, k):
         """Host-side per-keyframe work. Map maintenance (triangulation,
