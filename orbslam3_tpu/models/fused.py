@@ -764,9 +764,16 @@ class FusedSlam:
         else:
             n_kf = int(snap)
         if cfg.use_imu and not self.imu_initialized:
-            if n_kf >= cfg.imu_init_kfs:
+            # TRUE count, synchronous: the stale snapshot excludes the
+            # newest 1-2 keyframes, and on heavily-culled maps (static
+            # camera) those are most of the valid rows — the bad_imu guard
+            # starved forever on the stale count. Pre-init rounds are a
+            # bounded early phase, so this sync doesn't touch steady-state
+            # throughput.
+            n_true = int(self.map.n_kf)
+            if n_true >= cfg.imu_init_kfs:
                 t0 = self._tic()
-                self._try_imu_init(n_kf)
+                self._try_imu_init(n_true)
                 self._toc("imu_init", t0)
         elif self._imu_refine_due():
             t0 = self._tic()

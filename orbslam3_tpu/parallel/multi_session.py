@@ -1,0 +1,157 @@
+"""Multi-session SLAM: D independent sessions, one per mesh device.
+
+The data-parallel serving axis of the framework: a pod maps many robots /
+recorded sequences at once by sharding whole SLAM sessions over a 1-D
+`jax.sharding.Mesh` axis "dp". Each device advances ITS session with the
+exact single-session program (`models/fused.py::_slam_step_core` — the
+per-device block is squeezed to rank-0 batch before the step, so
+`lax.cond` keyframe branches stay real branches, not vmap-style selects
+that would execute local BA every frame). Zero collectives: sessions are
+independent; scaling is linear by construction.
+
+No analog exists in the reference (single process, one sequence —
+SURVEY.md §2.3 "no distributed backend"). The host API mirrors FusedSlam
+but takes one frame PER SESSION per call; host services (IMU init, loop
+closing) are per-session host work and run after `session_state()`
+unstacks a session back to ordinary (MapState, TrackState) — the intended
+offline-mapping flow is: stream all sequences through the mesh, then
+finalize each session (loop closing / GBA) individually.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from orbslam3_tpu.frontend.camera import Camera
+from orbslam3_tpu.map.slam_map import empty_map
+from orbslam3_tpu.models.fused import FrameOut, TrackState, _slam_step_core
+
+
+def _stack(tree, d: int):
+    return jax.tree.map(lambda a: jnp.broadcast_to(a[None], (d,) + a.shape), tree)
+
+
+def make_multi_session_step(mesh: Mesh, cam: Camera, cfg, chunk: int):
+    """jitted (sts, tss, frames...) -> (sts, tss, outs), all leading-dim D
+    sharded over mesh axis 'dp'. Frame arrays carry (D, chunk, ...)."""
+
+    def per_device(st, ts, lefts, rights, g, a, d, m, t):
+        # block = this device's single session: squeeze the size-1 shard dim
+        st1 = jax.tree.map(lambda x: x[0], st)
+        ts1 = jax.tree.map(lambda x: x[0], ts)
+
+        def body(carry, x):
+            s_, t_ = carry
+            ll, rr, gg, aa, dd, mm, tt = x
+            s_, t_, out = _slam_step_core(s_, t_, ll, rr, gg, aa, dd, mm, tt,
+                                          cam, cfg)
+            return (s_, t_), out
+
+        (st1, ts1), outs = jax.lax.scan(
+            body, (st1, ts1),
+            (lefts[0], rights[0], g[0], a[0], d[0], m[0], t[0]),
+        )
+        ex = lambda x: x[None]
+        return (jax.tree.map(ex, st1), jax.tree.map(ex, ts1),
+                jax.tree.map(ex, outs))
+
+    # check_vma=False: sessions are embarrassingly parallel (zero
+    # collectives), but the varying-manual-axes checker rejects the many
+    # literal-seeded scan carries inside the single-session solvers
+    # (lam/cost carries in VI-BA etc.) that are replicated on input and
+    # varying on output — semantically fine when nothing communicates
+    sharded = jax.shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P("dp"),) * 9, out_specs=(P("dp"),) * 3,
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0, 1))
+
+
+class MultiSessionSlam:
+    """Host driver for D = mesh-size concurrent SLAM sessions."""
+
+    def __init__(self, cam: Camera, cfg, n_sessions: int,
+                 chunk: int = 4, mesh: Optional[Mesh] = None):
+        if mesh is None:
+            devs = jax.devices()
+            if len(devs) < n_sessions:
+                raise ValueError(
+                    f"{n_sessions} sessions need {n_sessions} devices, have "
+                    f"{len(devs)} (set xla_force_host_platform_device_count)"
+                )
+            mesh = Mesh(np.array(devs[:n_sessions]), ("dp",))
+        if int(np.prod(mesh.devices.shape)) != n_sessions:
+            raise ValueError("v1 runs exactly one session per device")
+        self.mesh = mesh
+        self.cam = cam
+        self.cfg = cfg
+        self.chunk = chunk
+        self.d = n_sessions
+        sh = NamedSharding(mesh, P("dp"))
+        self.maps = jax.device_put(_stack(empty_map(cfg.cap), n_sessions), sh)
+        self.tss = jax.device_put(_stack(TrackState.initial(), n_sessions), sh)
+        self._step = make_multi_session_step(mesh, cam, cfg, chunk)
+        self._pending: list[list] = [[] for _ in range(n_sessions)]
+        self.outs: list = []  # (times (D, C), FrameOut stacked (D, C))
+        self._frames = 0
+
+    def process_frame(self, session: int, left, right, gyro, acc, dts,
+                      t: float):
+        """Buffer one frame for `session`; dispatches one mesh step once
+        EVERY session holds `chunk` frames (sessions advance in lockstep —
+        feed them round-robin)."""
+        n = self.cfg.max_imu_per_frame
+        k = min(len(dts), n)
+        g = np.zeros((n, 3), np.float32)
+        a = np.zeros((n, 3), np.float32)
+        d = np.zeros((n,), np.float32)
+        m = np.zeros((n,), bool)
+        if k:
+            g[:k], a[:k], d[:k], m[:k] = gyro[:k], acc[:k], dts[:k], True
+        self._pending[session].append(
+            (np.asarray(left, np.uint8), np.asarray(right, np.uint8),
+             g, a, d, m, np.float32(t))
+        )
+        if all(len(p) >= self.chunk for p in self._pending):
+            self.flush()
+
+    def flush(self):
+        c = min(len(p) for p in self._pending)
+        if c == 0:
+            return
+        batches = []
+        for i in range(7):
+            batches.append(jnp.asarray(np.stack(
+                [np.stack([f[i] for f in p[:c]]) for p in self._pending]
+            )))  # (D, C, ...)
+        self._pending = [p[c:] for p in self._pending]
+        self.maps, self.tss, outs = self._step(self.maps, self.tss, *batches)
+        self.outs.append((np.asarray(batches[6]), outs))
+        self._frames += c
+
+    def session_state(self, i: int):
+        """Unstack session i to a plain (MapState, TrackState) — feed it to
+        per-session host services (loop closing, export, checkpoint)."""
+        return (
+            jax.tree.map(lambda a: a[i], self.maps),
+            jax.tree.map(lambda a: a[i], self.tss),
+        )
+
+    def trajectory_arrays(self, i: int):
+        """(times, positions, quats) tracked for session i so far."""
+        ts_, ps, qs = [], [], []
+        for t_arr, outs in self.outs:
+            o: FrameOut = jax.device_get(jax.tree.map(lambda a: a[i], outs))
+            ts_.append(np.asarray(t_arr[i]))
+            ps.append(np.asarray(o.p))
+            qs.append(np.asarray(o.q))
+        if not ts_:
+            z = np.zeros((0, 3))
+            return np.zeros((0,)), z, np.zeros((0, 4))
+        return np.concatenate(ts_), np.concatenate(ps), np.concatenate(qs)
