@@ -122,7 +122,11 @@ def _make_kf_program(vocab: vb.Vocabulary, cfg: "LoopConfig"):
             map_ok = same_map
         connected = covis[kf_id] >= covis_min
         idx = jnp.arange(K)
-        recent = jnp.abs(idx - kf_id) < recent_gap
+        # id recency proxies temporal recency only WITHIN a map: after a
+        # session concat (map/compaction.py::concat_maps) the next map's
+        # first rows are id-adjacent to this map's last rows yet live in a
+        # different world — exactly the candidates a merge needs
+        recent = (jnp.abs(idx - kf_id) < recent_gap) & same_map
         earlier = idx < kf_id
         mask = kf_valid & map_ok & ~connected & ~recent & earlier
 

@@ -112,3 +112,93 @@ def compact_map(st: MapState):
         n_mp=n_mp,
     )
     return st, kf_map, mp_map
+
+
+def concat_maps(a: MapState, b: MapState):
+    """Concatenate two SoA maps into one state (multi-session welding).
+
+    Both are compacted first; b's rows land at offsets [n_kf_a, n_mp_a) with
+    every index column shifted and b's atlas map ids relabeled past a's
+    `next_map_id`, so the result is a valid multi-map Atlas state whose
+    maps can then be folded together by the cross-map loop-closing path
+    (loop/closer.py::_merge_maps). Host-driven (concrete offsets) — session
+    merging is a rare offline operation, not a per-frame program.
+
+    Returns (MapState, kf_offset, mp_offset): b's old row i is now
+    kf_offset + i / mp_offset + i.
+
+    No reference analog: the reference is single-process single-sequence
+    (SURVEY §2.3); multi-session merging follows the ORB-SLAM3 Atlas paper.
+    """
+    a, _, _ = compact_map(a)
+    b, _, _ = compact_map(b)
+    K, N = a.kf_mp.shape
+    M, O = a.mp_obs_kf.shape
+    if b.kf_mp.shape != (K, N) or b.mp_obs_kf.shape != (M, O):
+        raise ValueError("concat_maps requires identical capacities")
+    na, nma = int(a.n_kf), int(a.n_mp)
+    nb, nmb = int(b.n_kf), int(b.n_mp)
+    if na + nb > K or nma + nmb > M:
+        raise ValueError(
+            f"merged map exceeds capacity: {na}+{nb} kfs (cap {K}), "
+            f"{nma}+{nmb} points (cap {M})"
+        )
+    mofs = int(a.next_map_id)
+
+    kf_rows = jnp.arange(na, na + nb)
+    mp_rows = jnp.arange(nma, nma + nmb)
+
+    def put_kf(xa, xb, shift=None):
+        rows = xb[:nb] if shift is None else shift(xb[:nb])
+        return xa.at[kf_rows].set(rows)
+
+    def put_mp(xa, xb, shift=None):
+        rows = xb[:nmb] if shift is None else shift(xb[:nmb])
+        return xa.at[mp_rows].set(rows)
+
+    sh_kf = lambda x: jnp.where(x >= 0, x + na, -1)
+    sh_mp = lambda x: jnp.where(x >= 0, x + nma, -1)
+    sh_map = lambda x: jnp.where(x >= 0, x + mofs, -1)
+
+    covis = a.covis.at[na:na + nb, na:na + nb].set(b.covis[:nb, :nb])
+
+    return a._replace(
+        kf_q=put_kf(a.kf_q, b.kf_q),
+        kf_p=put_kf(a.kf_p, b.kf_p),
+        kf_v=put_kf(a.kf_v, b.kf_v),
+        kf_bg=put_kf(a.kf_bg, b.kf_bg),
+        kf_ba=put_kf(a.kf_ba, b.kf_ba),
+        kf_time=put_kf(a.kf_time, b.kf_time),
+        kf_valid=put_kf(a.kf_valid, b.kf_valid),
+        kf_map_id=put_kf(a.kf_map_id, b.kf_map_id, sh_map),
+        kf_prev=put_kf(a.kf_prev, b.kf_prev, sh_kf),
+        kf_uv=put_kf(a.kf_uv, b.kf_uv),
+        kf_ur=put_kf(a.kf_ur, b.kf_ur),
+        kf_depth=put_kf(a.kf_depth, b.kf_depth),
+        kf_octave=put_kf(a.kf_octave, b.kf_octave),
+        kf_desc=put_kf(a.kf_desc, b.kf_desc),
+        kf_mp=put_kf(a.kf_mp, b.kf_mp, sh_mp),
+        kf_feat_valid=put_kf(a.kf_feat_valid, b.kf_feat_valid),
+        kf_preint=jax.tree.map(
+            lambda xa, xb: xa.at[kf_rows].set(xb[:nb]), a.kf_preint, b.kf_preint
+        ),
+        mp_pos=put_mp(a.mp_pos, b.mp_pos),
+        mp_desc=put_mp(a.mp_desc, b.mp_desc),
+        mp_normal=put_mp(a.mp_normal, b.mp_normal),
+        mp_min_dist=put_mp(a.mp_min_dist, b.mp_min_dist),
+        mp_max_dist=put_mp(a.mp_max_dist, b.mp_max_dist),
+        mp_valid=put_mp(a.mp_valid, b.mp_valid),
+        mp_map_id=put_mp(a.mp_map_id, b.mp_map_id, sh_map),
+        mp_first_kf=put_mp(a.mp_first_kf, b.mp_first_kf, sh_kf),
+        mp_visible=put_mp(a.mp_visible, b.mp_visible),
+        mp_found=put_mp(a.mp_found, b.mp_found),
+        mp_obs_kf=put_mp(a.mp_obs_kf, b.mp_obs_kf, sh_kf),
+        mp_obs_feat=put_mp(a.mp_obs_feat, b.mp_obs_feat),
+        mp_obs_n=put_mp(a.mp_obs_n, b.mp_obs_n),
+        covis=covis,
+        n_kf=jnp.int32(na + nb),
+        n_mp=jnp.int32(nma + nmb),
+        active_map=b.active_map + mofs,
+        next_map_id=b.next_map_id + mofs,
+        n_obs_dropped=a.n_obs_dropped + b.n_obs_dropped,
+    ), na, nma

@@ -155,3 +155,29 @@ class MultiSessionSlam:
             z = np.zeros((0, 3))
             return np.zeros((0,)), z, np.zeros((0, 4))
         return np.concatenate(ts_), np.concatenate(ps), np.concatenate(qs)
+
+
+def merge_session_maps(states, vocab, cam: Camera, loop_cfg=None):
+    """Weld session maps into one global map (collaborative mapping).
+
+    Concatenates every session's MapState into one multi-map Atlas state
+    (map/compaction.py::concat_maps) and replays all keyframes through the
+    cross-map loop-closing path: when a keyframe of one session recognizes
+    another session's area, the verified Sim3 folds its whole map into the
+    other's world frame (loop/closer.py::_merge_maps) and pose-graph + BA
+    refine the weld. Sessions with no overlap simply remain separate atlas
+    maps in the returned state.
+
+    Returns (MapState, LoopCloser) — the closer carries merge stats.
+    """
+    from orbslam3_tpu.loop.closer import LoopCloser, LoopConfig
+    from orbslam3_tpu.map.compaction import concat_maps
+
+    st = states[0]
+    for other in states[1:]:
+        st, _, _ = concat_maps(st, other)
+    closer = LoopCloser(vocab, loop_cfg or LoopConfig())
+    for k in range(int(st.n_kf)):
+        st, _ = closer.on_keyframe(st, k, cam)
+    st, _ = closer.drain(st, cam)
+    return st, closer

@@ -88,3 +88,87 @@ def test_multi_session_matches_single_and_isolates():
     for s in range(D):
         st_s, _ = ms.session_state(s)
         assert int(st_s.n_kf) >= 2, s
+
+
+@pytest.mark.slow
+def test_merge_session_maps_welds_overlap():
+    """Two sessions that mapped the same wall from different world origins
+    are concatenated and folded into ONE map by cross-map loop closing;
+    non-overlap would leave them as separate atlas maps."""
+    import jax.numpy as jnp
+
+    from orbslam3_tpu.frontend.camera import Camera
+    from orbslam3_tpu.geometry import quat
+    from orbslam3_tpu.imu.preintegration import PreintState
+    from orbslam3_tpu.loop import vocab as vb
+    from orbslam3_tpu.loop.closer import LoopConfig
+    from orbslam3_tpu.map.slam_map import empty_map, insert_keyframe
+    from orbslam3_tpu.parallel.multi_session import merge_session_maps
+
+    rng = np.random.default_rng(5)
+    cam = Camera.create(240.0, 240.0, 192.0, 128.0, 0.11, 384, 256)
+    cap = MapCapacity(max_kf=16, n_feat=128, max_mp=2048, max_obs=8)
+    L = 96
+    lm = np.stack(
+        [rng.uniform(-3, 3, L), rng.uniform(-2, 2, L), np.full(L, 6.0)], -1
+    ).astype(np.float32)
+    lm_desc = rng.integers(0, 256, (L, 32)).astype(np.uint8)
+
+    def make_kf(p_est, matched_ids, p_render):
+        xc = lm - p_render
+        z = xc[:, 2]
+        uv = np.stack([240 * xc[:, 0] / z + 192, 240 * xc[:, 1] / z + 128], -1)
+        n = cap.n_feat
+        mm_ = np.full(n, -1, np.int32)
+        if matched_ids is not None:
+            mm_[:L] = matched_ids
+        return dict(
+            time=jnp.float32(0.0), q_wb=quat.identity(), p_w=jnp.asarray(p_est),
+            vel=jnp.zeros(3), bias_g=jnp.zeros(3), bias_a=jnp.zeros(3),
+            uv=jnp.zeros((n, 2)).at[:L].set(jnp.asarray(uv.astype(np.float32))),
+            u_right=jnp.full((n,), -1.0),
+            depth=jnp.full((n,), -1.0).at[:L].set(jnp.asarray(z)),
+            octave=jnp.zeros((n,), jnp.int32),
+            desc=jnp.zeros((n, 32), jnp.uint8).at[:L].set(jnp.asarray(lm_desc)),
+            points_body=jnp.zeros((n, 3)).at[:L].set(jnp.asarray(xc)),
+            feat_valid=jnp.zeros((n,), bool).at[:L].set(True),
+            matched_mp=jnp.asarray(mm_),
+            preint=PreintState.identity(),
+        )
+
+    def build_session(origin_err, n_kf):
+        st = empty_map(cap)
+        poses = [np.array([x, 0, 0], np.float32)
+                 for x in np.linspace(-1, 1, n_kf)]
+        st, _ = insert_keyframe(
+            st, **make_kf(poses[0] + origin_err, None, poses[0]),
+            prev_kf=jnp.int32(-1), new_mp_budget=128,
+        )
+        ids = np.arange(L, dtype=np.int32)
+        for k, p in enumerate(poses[1:]):
+            st, _ = insert_keyframe(
+                st, **make_kf(p + origin_err, ids, p),
+                prev_kf=jnp.int32(k), new_mp_budget=0,
+            )
+        return st, poses
+
+    offset = np.array([0.5, 0.0, 0.3], np.float32)
+    st_a, poses = build_session(np.zeros(3, np.float32), 5)
+    st_b, poses_b = build_session(offset, 4)
+
+    corpus = np.concatenate(
+        [lm_desc, rng.integers(0, 256, (2000, 32)).astype(np.uint8)]
+    )
+    voc = vb.train_vocabulary(corpus, k=6, levels=3)
+    merged, closer = merge_session_maps(
+        [st_a, st_b], voc, cam,
+        LoopConfig(recent_gap=2, consistency_needed=2,
+                   covis_edge_weight_min=10, run_global_ba=False),
+    )
+    assert closer.stats.corrected >= 1, closer.stats
+    maps = np.asarray(merged.kf_map_id)[np.asarray(merged.kf_valid)]
+    assert len(set(maps.tolist())) == 1, set(maps.tolist())
+    # session B's keyframes (rows 5..8) pulled onto their true poses
+    for kid, p_true in zip(range(5, 9), poses_b):
+        err = np.linalg.norm(np.asarray(merged.kf_p[kid]) - p_true)
+        assert err < 0.1, (kid, np.asarray(merged.kf_p[kid]), p_true, err)
