@@ -577,6 +577,36 @@ class FusedSlam:
         # x default 8 ≈ the reference's every-100-frames throttle
         self._log_throttle = Throttle(max(100 // max(service_every, 1), 1))
 
+    @classmethod
+    def from_state(cls, cam: Camera, cfg, map_state, track_state,
+                   **kwargs) -> "FusedSlam":
+        """Resume a running system from a (MapState, TrackState) pair — a
+        checkpoint (map/checkpoint.py::load_map) or an unstacked
+        multi-session slot (parallel/multi_session.py::session_state).
+
+        Host mirrors are resynced from the state: row bounds, last frame
+        time, IMU phase (a resumed initialized-IMU session skips init and
+        the time-phased refinements). Keyframes already in the map are NOT
+        re-serviced for loop closing (_n_kf_seen starts at n_kf); they
+        remain loop-closure CANDIDATES regardless, because place
+        recognition matches against kf_desc directly."""
+        import numpy as np
+
+        slam = cls(cam, cfg, **kwargs)
+        slam.map = jax.tree.map(jnp.asarray, map_state)
+        slam.ts = jax.tree.map(jnp.asarray, track_state)
+        slam._kf_ub = int(slam.map.n_kf)
+        slam._mp_ub = int(slam.map.n_mp)
+        slam._n_kf_seen = int(slam.map.n_kf)
+        n_kf = int(slam.map.n_kf)
+        if n_kf:
+            slam._last_t = float(np.max(np.asarray(slam.map.kf_time[:n_kf])))
+        if bool(slam.ts.imu_ok):
+            slam.imu_initialized = True
+            slam._imu_phase = 3  # past all refinement phases
+            slam._imu_init_time = slam._last_t
+        return slam
+
     def _tic(self):
         import time
 

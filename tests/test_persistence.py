@@ -59,3 +59,78 @@ def test_html_view_export(tmp_path):
     assert '"points":' in html and '"traj":' in html
     assert html.count("<script>") == 1  # self-contained, no external deps
     assert "http" not in html.split("<script>")[1]  # no CDN fetches
+
+
+def test_resume_from_checkpoint(tmp_path):
+    """FusedSlam.from_state: save a live run mid-sequence, resume in a new
+    system, and keep tracking — the resumed half must track as well as the
+    uninterrupted run."""
+    import pytest
+
+    pytest.importorskip("jax")
+    import jax
+
+    from orbslam3_tpu.frontend.orb import OrbConfig
+    from orbslam3_tpu.io.synthetic import SyntheticConfig, SyntheticWorld
+    from orbslam3_tpu.models.fused import FusedSlam
+    from orbslam3_tpu.models.slam import SlamConfig
+    from orbslam3_tpu.models.tracker import TrackConfig
+
+    cfg = SyntheticConfig(
+        width=384, height=256, fx=240.0, fy=240.0, n_landmarks=500,
+        duration=3.0, cam_hz=10.0, pos_amp=(1.0, 0.7, 0.3),
+    )
+    world = SyntheticWorld(cfg)
+    slam_cfg = SlamConfig(
+        orb=OrbConfig(n_features=256, n_levels=4),
+        cap=MapCapacity(max_kf=16, n_feat=256, max_mp=2048, max_obs=8),
+        track=TrackConfig(p_local=1024),
+        ba_points=512, use_imu=False, kf_max_frames=3,
+    )
+    slam = FusedSlam(world.cam, slam_cfg, service_every=10**9)
+    times = world.frame_times()
+    half = len(times) // 2
+    for i, t in enumerate(times[:half]):
+        left, right = world.render_frame(t)
+        t_next = times[i + 1] if i + 1 < len(times) else t + 0.1
+        g, a, d = world.imu_window(t, t_next)
+        slam.process_frame(left, right, g, a, d, float(t))
+    slam.flush()
+    kf_before = int(slam.map.n_kf)
+    assert kf_before >= 2
+
+    p = str(tmp_path / "ckpt.npz")
+    save_map(p, slam.map, slam.ts)
+    st, ts = load_map(p, with_track_state=True)
+
+    resumed = FusedSlam.from_state(world.cam, slam_cfg, st, ts,
+                                   service_every=10**9)
+    # _last_t resyncs from keyframe times (non-KF frames leave no trace in
+    # the checkpoint), so it lags the last tracked frame by < kf_max_frames
+    assert times[0] < resumed._last_t <= float(times[half - 1])
+    n_ok = 0
+    for i in range(half, len(times)):
+        t = times[i]
+        left, right = world.render_frame(t)
+        t_next = times[i + 1] if i + 1 < len(times) else t + 0.1
+        g, a, d = world.imu_window(t, t_next)
+        resumed.process_frame(left, right, g, a, d, float(t))
+    resumed.flush()
+    jax.block_until_ready(resumed.ts.q)
+    assert int(resumed.map.n_kf) > kf_before, "no keyframes after resume"
+
+    # ground truth for resume correctness is the UNINTERRUPTED system: feed
+    # the original instance the same second half — the resumed one must
+    # land on the same state (the checkpoint roundtrip is exact float32)
+    for i in range(half, len(times)):
+        t = times[i]
+        left, right = world.render_frame(t)
+        t_next = times[i + 1] if i + 1 < len(times) else t + 0.1
+        g, a, d = world.imu_window(t, t_next)
+        slam.process_frame(left, right, g, a, d, float(t))
+    slam.flush()
+    jax.block_until_ready(slam.ts.q)
+    np.testing.assert_allclose(
+        np.asarray(resumed.ts.p), np.asarray(slam.ts.p), atol=1e-4
+    )
+    assert int(resumed.map.n_kf) == int(slam.map.n_kf)
