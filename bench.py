@@ -56,6 +56,7 @@ def run_pipeline(world, times, frames, imu, slam_cfg, vocab=None, chunk=4,
         slam.process_frame(frames[i][0], frames[i][1], g, a, d, float(times[i]))
     slam.flush()
     jax.block_until_ready(slam.ts.q)
+    slam.timing.clear()  # timing covers only the timed window below
     t0 = time.perf_counter()
     for i in range(timed_from, len(times)):
         g, a, d = imu[i]
@@ -219,7 +220,10 @@ def main():
     # host service-time share of the run (VERDICT r1 item 6): how much of
     # wall time went to pipeline-sync services vs streaming dispatch
     tr = slam_r_loop.timing_report()
-    svc_s = sum(v["total_s"] for k, v in tr.items() if k != "dispatch_chunk")
+    # 'host_services' is the OUTER timer; the per-stage timers (imu_*,
+    # loop_*, compaction) are nested inside it — summing all keys would
+    # double-count every service second
+    svc_s = tr.get("host_services", {"total_s": 0.0})["total_s"]
     n_timed = len(rtimes) - 8
     revisit = {
         "revisit_ate_loop_m": round(r_ate(slam_r_loop), 4),

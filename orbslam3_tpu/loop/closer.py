@@ -596,7 +596,12 @@ class LoopCloser:
 
         # past loop edges (fixed capacity so every correction reuses one
         # compiled solve shape), then the current loop edge LAST — the
-        # measurement overwrite below targets index -1
+        # measurement overwrite below targets index -1.
+        # ONE device fetch of the new edge (reused for the measurement
+        # build and the record below): per-leaf np.asarray would pay up to
+        # 6 tunnel round trips mid-correction.
+        new_q, new_t, new_s = jax.device_get((S_rel.q, S_rel.t, S_rel.s))
+        new_q, new_t, new_s = np.asarray(new_q), np.asarray(new_t), float(new_s)
         E = LOOP_EDGE_CAP
         h_i = np.zeros(E, np.int32)
         h_j = np.zeros(E, np.int32)
@@ -637,9 +642,9 @@ class LoopCloser:
         e_meas = jax.vmap(meas)(e_i, e_j)
         # overwrite the loop-edge measurements (past edges + the new one)
         loop_meas = Sim3(
-            jnp.asarray(np.concatenate([h_q, [np.asarray(S_rel.q)]])),
-            jnp.asarray(np.concatenate([h_t, [np.asarray(S_rel.t)]])),
-            jnp.asarray(np.concatenate([h_s, [np.asarray(S_rel.s)]])),
+            jnp.asarray(np.concatenate([h_q, [new_q]])),
+            jnp.asarray(np.concatenate([h_t, [new_t]])),
+            jnp.asarray(np.concatenate([h_s, [new_s]])),
         )
         n_loop = E + 1
         e_meas = jax.tree.map(
@@ -678,8 +683,8 @@ class LoopCloser:
         # keep this correction's constraint for every future solve
         if record:
             self._loop_edges.append((
-                int(cand), int(kf_id), np.asarray(S_rel.q, np.float32),
-                np.asarray(S_rel.t, np.float32), float(S_rel.s),
+                int(cand), int(kf_id), new_q.astype(np.float32),
+                new_t.astype(np.float32), new_s,
             ))
             self._loop_edges = self._loop_edges[-LOOP_EDGE_CAP:]
 

@@ -711,7 +711,12 @@ class FusedSlam:
             self.ts = self.ts._replace(last_kf=jnp.int32(max(new_lk, 0)))
             if self.loop_closer is not None:
                 self.loop_closer.remap_rows(km)
-            self._n_kf_seen = int(self.map.n_kf)
+            # only rows ALREADY serviced count as seen: with the pipelined
+            # n_kf snapshot, 1-2 keyframes newer than the snapshot exist at
+            # compaction time and must still get their loop-closing service
+            # next round (jumping to the full post-compaction count would
+            # silently skip their detection forever)
+            self._n_kf_seen = int((km[: self._n_kf_seen] >= 0).sum())
             self._kf_remaps.append(km)
             self.compactions += 1
             # the in-flight n_kf snapshot indexes pre-compaction rows

@@ -19,7 +19,6 @@ finalize each session (loop closing / GBA) individually.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax
@@ -36,9 +35,10 @@ def _stack(tree, d: int):
     return jax.tree.map(lambda a: jnp.broadcast_to(a[None], (d,) + a.shape), tree)
 
 
-def make_multi_session_step(mesh: Mesh, cam: Camera, cfg, chunk: int):
+def make_multi_session_step(mesh: Mesh, cam: Camera, cfg):
     """jitted (sts, tss, frames...) -> (sts, tss, outs), all leading-dim D
-    sharded over mesh axis 'dp'. Frame arrays carry (D, chunk, ...)."""
+    sharded over mesh axis 'dp'. Frame arrays carry (D, chunk, ...); the
+    chunk length is read from the array shapes."""
 
     def per_device(st, ts, lefts, rights, g, a, d, m, t):
         # block = this device's single session: squeeze the size-1 shard dim
@@ -96,10 +96,15 @@ class MultiSessionSlam:
         sh = NamedSharding(mesh, P("dp"))
         self.maps = jax.device_put(_stack(empty_map(cfg.cap), n_sessions), sh)
         self.tss = jax.device_put(_stack(TrackState.initial(), n_sessions), sh)
-        self._step = make_multi_session_step(mesh, cam, cfg, chunk)
+        self._step = make_multi_session_step(mesh, cam, cfg)
         self._pending: list[list] = [[] for _ in range(n_sessions)]
         self.outs: list = []  # (times (D, C), FrameOut stacked (D, C))
         self._frames = 0
+        # per-session bookkeeping for uneven stream lengths: the last fed
+        # frame (finalize() pads shorter sessions with it) and the true fed
+        # count (trajectory_arrays trims the padding)
+        self._last_frame: list = [None] * n_sessions
+        self._n_fed = [0] * n_sessions
 
     def process_frame(self, session: int, left, right, gyro, acc, dts,
                       t: float):
@@ -114,11 +119,31 @@ class MultiSessionSlam:
         m = np.zeros((n,), bool)
         if k:
             g[:k], a[:k], d[:k], m[:k] = gyro[:k], acc[:k], dts[:k], True
-        self._pending[session].append(
-            (np.asarray(left, np.uint8), np.asarray(right, np.uint8),
-             g, a, d, m, np.float32(t))
-        )
+        frame = (np.asarray(left, np.uint8), np.asarray(right, np.uint8),
+                 g, a, d, m, np.float32(t))
+        self._pending[session].append(frame)
+        self._last_frame[session] = frame
+        self._n_fed[session] += 1
         if all(len(p) >= self.chunk for p in self._pending):
+            self.flush()
+
+    def finalize(self):
+        """Drain every session's buffered frames. Sessions advance in
+        lockstep, so uneven stream lengths leave a ragged tail that a bare
+        flush() (which processes min-across-sessions) would strand forever:
+        shorter sessions are padded by repeating their own last frame (a
+        duplicate frame tracks onto the same pose; at worst it inserts one
+        redundant keyframe, which culling removes). trajectory_arrays trims
+        the padded outputs."""
+        while any(self._pending):
+            need = max(len(p) for p in self._pending)
+            for s in range(self.d):
+                if len(self._pending[s]) < need and self._last_frame[s] is None:
+                    raise ValueError(
+                        f"session {s} never received a frame; cannot pad"
+                    )
+                while len(self._pending[s]) < need:
+                    self._pending[s].append(self._last_frame[s])
             self.flush()
 
     def flush(self):
@@ -144,7 +169,8 @@ class MultiSessionSlam:
         )
 
     def trajectory_arrays(self, i: int):
-        """(times, positions, quats) tracked for session i so far."""
+        """(times, positions, quats) tracked for session i so far —
+        finalize() padding frames are trimmed."""
         ts_, ps, qs = [], [], []
         for t_arr, outs in self.outs:
             o: FrameOut = jax.device_get(jax.tree.map(lambda a: a[i], outs))
@@ -154,7 +180,9 @@ class MultiSessionSlam:
         if not ts_:
             z = np.zeros((0, 3))
             return np.zeros((0,)), z, np.zeros((0, 4))
-        return np.concatenate(ts_), np.concatenate(ps), np.concatenate(qs)
+        n = self._n_fed[i]
+        return (np.concatenate(ts_)[:n], np.concatenate(ps)[:n],
+                np.concatenate(qs)[:n])
 
 
 def merge_session_maps(states, vocab, cam: Camera, loop_cfg=None):

@@ -25,7 +25,7 @@ print("warmup done", flush=True)
 
 rw, rtimes, rframes, rimu = build_revisit_world()
 r_vocab = train_world_vocab(rw, rframes)
-print("vocab leaves:", vocab.leaf_desc.shape if hasattr(vocab, 'leaf_desc') else type(vocab),
+print("vocab leaves:", r_vocab.leaf_desc.shape if hasattr(r_vocab, 'leaf_desc') else type(r_vocab),
       flush=True)
 
 slam = FusedSlam(rw.cam, slam_cfg, service_every=8, chunk=4, vocabulary=r_vocab,

@@ -46,13 +46,17 @@ def test_multi_session_matches_single_and_isolates():
     frames = [
         [w.render_frame(t) for t in times] for w in worlds[:2]
     ]  # render each distinct scene once
+    short_stop = len(times) - 3  # session 7's stream ends early: the
+    # ragged tail exercises finalize()'s repeat-last-frame padding
     for i, t in enumerate(times):
         for s in range(D):
+            if s == 7 and i >= short_stop:
+                continue
             left, right = frames[s % 2][i]
             t_next = times[i + 1] if i + 1 < len(times) else t + 0.1
             g, a, d = worlds[s].imu_window(t, t_next)
             ms.process_frame(s, left, right, g, a, d, float(t))
-    ms.flush()
+    ms.finalize()
 
     # single-session reference: FusedSlam with the same chunking on the
     # same frames must produce the same trajectory (same program, same
@@ -88,6 +92,10 @@ def test_multi_session_matches_single_and_isolates():
     for s in range(D):
         st_s, _ = ms.session_state(s)
         assert int(st_s.n_kf) >= 2, s
+
+    # the short session's trajectory is trimmed to its true frame count
+    t7, p7, _ = ms.trajectory_arrays(7)
+    assert len(p7) == short_stop
 
 
 @pytest.mark.slow
