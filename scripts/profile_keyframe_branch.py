@@ -1,4 +1,4 @@
-"""Time the keyframe-branch components on the real TPU (scratch)."""
+"""Time the keyframe-branch components on the real TPU."""
 import sys, os, time; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax, jax.numpy as jnp
