@@ -158,10 +158,39 @@ def flops_per_frame(world, slam_cfg):
         return 0.0
 
 
+def _probe_backend(timeout_s: float = 180.0) -> bool:
+    """True if the default JAX backend initializes in a fresh subprocess.
+
+    The axon TPU tunnel, when its remote end is down, HANGS backend init
+    (observed: multi-hour outages) rather than erroring; probing in a
+    killable subprocess is the only way to bound that. Probing in-process
+    would poison this process's backend state on timeout."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print('ok')"],
+            timeout=timeout_s, capture_output=True, text=True,
+        )
+        return r.returncode == 0 and "ok" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     import os
 
     os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+    if not _probe_backend():
+        # emit a well-formed line instead of hanging the driver forever
+        print(json.dumps({
+            "metric": "tracked_fps_per_chip", "value": 0.0,
+            "unit": "frames/s", "vs_baseline": 0.0,
+            "error": "TPU backend unavailable (tunnel down); bench skipped",
+        }))
+        return
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")

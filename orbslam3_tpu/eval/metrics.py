@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from orbslam3_tpu.geometry.quat import to_matrix_np as _qmat_np
+
 
 def umeyama_align(est: np.ndarray, gt: np.ndarray, with_scale: bool = False):
     """Least-squares rigid (or similarity) alignment est -> gt.
@@ -44,20 +46,6 @@ def ate_rmse(est: np.ndarray, gt: np.ndarray, with_scale: bool = False) -> float
     return float(np.sqrt((err**2).mean()))
 
 
-def _qmat_np(q):
-    """(..., 4) wxyz -> (..., 3, 3) rotation matrices."""
-    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
-    R = np.empty(q.shape[:-1] + (3, 3))
-    R[..., 0, 0] = 1 - 2 * (y * y + z * z)
-    R[..., 0, 1] = 2 * (x * y - w * z)
-    R[..., 0, 2] = 2 * (x * z + w * y)
-    R[..., 1, 0] = 2 * (x * y + w * z)
-    R[..., 1, 1] = 1 - 2 * (x * x + z * z)
-    R[..., 1, 2] = 2 * (y * z - w * x)
-    R[..., 2, 0] = 2 * (x * z - w * y)
-    R[..., 2, 1] = 2 * (y * z + w * x)
-    R[..., 2, 2] = 1 - 2 * (x * x + y * y)
-    return R
 
 
 def rpe_rmse(
@@ -77,7 +65,11 @@ def rpe_rmse(
     """
     T = min(len(est_p), len(gt_p))
     if T <= delta:
-        return 0.0, (0.0 if est_q is not None else None)
+        # mirror the main path's contract: a rotation NUMBER only when both
+        # orientation sets exist, None otherwise (0.0 would read as "zero
+        # rotation error" for a degenerate/short run)
+        has_rot = est_q is not None and gt_q is not None
+        return 0.0, (0.0 if has_rot else None)
     i0 = np.arange(T - delta)
     i1 = i0 + delta
 

@@ -97,3 +97,63 @@ def to_matrix(q):
 def from_matrix(R):
     """Rotation matrix (..., 3, 3) -> quaternion (..., 4) via Shepperd."""
     return so3.matrix_to_quat(R)
+
+
+# ---------------------------------------------------------------------------
+# Pure-numpy host-side variants: calibration parsing (io/rectify.py,
+# io/synthetic.py) and evaluation (eval/metrics.py) run on host in float64
+# and must not trigger device dispatches (a jnp call in the synthetic
+# renderer once cost 72 s/frame through the TPU tunnel).
+
+
+def to_matrix_np(q):
+    """(..., 4) wxyz -> (..., 3, 3) rotation matrices, pure numpy."""
+    import numpy as np
+
+    q = np.asarray(q)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    R = np.empty(q.shape[:-1] + (3, 3), q.dtype)
+    R[..., 0, 0] = 1 - 2 * (y * y + z * z)
+    R[..., 0, 1] = 2 * (x * y - w * z)
+    R[..., 0, 2] = 2 * (x * z + w * y)
+    R[..., 1, 0] = 2 * (x * y + w * z)
+    R[..., 1, 1] = 1 - 2 * (x * x + z * z)
+    R[..., 1, 2] = 2 * (y * z - w * x)
+    R[..., 2, 0] = 2 * (x * z - w * y)
+    R[..., 2, 1] = 2 * (y * z + w * x)
+    R[..., 2, 2] = 1 - 2 * (x * x + y * y)
+    return R
+
+
+def from_matrix_np(R):
+    """Single (3, 3) rotation matrix -> unit quaternion (4,) wxyz.
+
+    Shepperd's method (largest-pivot branch), robust for any rotation
+    including trace near -1 — the one matrix->quat implementation every
+    host-side calibration path shares."""
+    import numpy as np
+
+    R = np.asarray(R, np.float64)
+    w2 = 1.0 + R[0, 0] + R[1, 1] + R[2, 2]
+    x2 = 1.0 + R[0, 0] - R[1, 1] - R[2, 2]
+    y2 = 1.0 - R[0, 0] + R[1, 1] - R[2, 2]
+    z2 = 1.0 - R[0, 0] - R[1, 1] + R[2, 2]
+    m = max(w2, x2, y2, z2)
+    if m == w2:
+        w = 0.5 * np.sqrt(w2)
+        q = [w, (R[2, 1] - R[1, 2]) / (4 * w), (R[0, 2] - R[2, 0]) / (4 * w),
+             (R[1, 0] - R[0, 1]) / (4 * w)]
+    elif m == x2:
+        x = 0.5 * np.sqrt(x2)
+        q = [(R[2, 1] - R[1, 2]) / (4 * x), x, (R[0, 1] + R[1, 0]) / (4 * x),
+             (R[0, 2] + R[2, 0]) / (4 * x)]
+    elif m == y2:
+        y = 0.5 * np.sqrt(y2)
+        q = [(R[0, 2] - R[2, 0]) / (4 * y), (R[0, 1] + R[1, 0]) / (4 * y), y,
+             (R[1, 2] + R[2, 1]) / (4 * y)]
+    else:
+        z = 0.5 * np.sqrt(z2)
+        q = [(R[1, 0] - R[0, 1]) / (4 * z), (R[0, 2] + R[2, 0]) / (4 * z),
+             (R[1, 2] + R[2, 1]) / (4 * z), z]
+    q = np.asarray(q, np.float64)
+    return q / np.linalg.norm(q)

@@ -17,6 +17,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from orbslam3_tpu.geometry import quat
+
 
 class RectifyMaps(NamedTuple):
     map_x0: np.ndarray  # (H, W) source x for cam0
@@ -119,30 +121,7 @@ def body_from_rect_cam(T_BS0, R_rect0):
     for the rectifying rotation)."""
     R = T_BS0[:3, :3] @ R_rect0.T
     t = T_BS0[:3, 3]
-    # Shepperd matrix->quat (robust for arbitrary rotations)
-    w2 = 1.0 + R[0, 0] + R[1, 1] + R[2, 2]
-    x2 = 1.0 + R[0, 0] - R[1, 1] - R[2, 2]
-    y2 = 1.0 - R[0, 0] + R[1, 1] - R[2, 2]
-    z2 = 1.0 - R[0, 0] - R[1, 1] + R[2, 2]
-    m = max(w2, x2, y2, z2)
-    if m == w2:
-        w = 0.5 * np.sqrt(w2)
-        q = [w, (R[2, 1] - R[1, 2]) / (4 * w), (R[0, 2] - R[2, 0]) / (4 * w),
-             (R[1, 0] - R[0, 1]) / (4 * w)]
-    elif m == x2:
-        x = 0.5 * np.sqrt(x2)
-        q = [(R[2, 1] - R[1, 2]) / (4 * x), x, (R[0, 1] + R[1, 0]) / (4 * x),
-             (R[0, 2] + R[2, 0]) / (4 * x)]
-    elif m == y2:
-        y = 0.5 * np.sqrt(y2)
-        q = [(R[0, 2] - R[2, 0]) / (4 * y), (R[0, 1] + R[1, 0]) / (4 * y), y,
-             (R[1, 2] + R[2, 1]) / (4 * y)]
-    else:
-        z = 0.5 * np.sqrt(z2)
-        q = [(R[1, 0] - R[0, 1]) / (4 * z), (R[0, 2] + R[2, 0]) / (4 * z),
-             (R[1, 2] + R[2, 1]) / (4 * z), z]
-    q = np.asarray(q, np.float64)
-    q = q / np.linalg.norm(q)
+    q = quat.from_matrix_np(R)
     return q.astype(np.float32), t.astype(np.float32)
 
 

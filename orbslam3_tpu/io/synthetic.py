@@ -67,14 +67,9 @@ def _qnorm(q):
 
 
 def _qmat(q):
-    w, x, y, z = q
-    return np.array(
-        [
-            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
-            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
-            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
-        ]
-    )
+    from orbslam3_tpu.geometry.quat import to_matrix_np
+
+    return to_matrix_np(q)
 
 
 class SyntheticConfig(NamedTuple):
@@ -132,19 +127,9 @@ def euroc_t_bc():
             [0.0, 0.0, 0.0, 1.0],
         ]
     )
-    R = T[:3, :3]
-    w = np.sqrt(max(1.0 + np.trace(R), 0.0)) / 2.0
-    q = _qnorm(
-        np.array(
-            [
-                w,
-                (R[2, 1] - R[1, 2]) / (4 * w),
-                (R[0, 2] - R[2, 0]) / (4 * w),
-                (R[1, 0] - R[0, 1]) / (4 * w),
-            ]
-        )
-    )
-    return tuple(q), tuple(T[:3, 3])
+    from orbslam3_tpu.geometry.quat import from_matrix_np
+
+    return tuple(from_matrix_np(T[:3, :3])), tuple(T[:3, 3])
 
 
 class SyntheticWorld:

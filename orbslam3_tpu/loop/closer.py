@@ -77,6 +77,14 @@ class LoopConfig(NamedTuple):
     pose_graph_iters: int = 10
     loop_edge_weight: float = 100.0  # (ref: loop edge weight 100)
     allow_cross_map: bool = True  # detect candidates in archived maps -> merge
+    # reference min-score gate (detector.rs: candidates must score >= the
+    # minimum BoW score among the query's covisible keyframes). Default
+    # OFF: on the self-similar synthetic world BoW L1 scores are nearly
+    # flat across viewpoints (genuine revisit ranked ~11th) and the gate
+    # can veto true loops; with a real discriminative vocabulary on real
+    # data it prunes the exhaustive-match candidate list the way DBoW2
+    # does. Scores ride the detection packet either way.
+    bow_min_score_gate: bool = False
     run_global_ba: bool = True  # reference runs global BA after correction
     gba_max_points: int = 8192
     gba_obs: int = 8
@@ -104,8 +112,11 @@ def _make_kf_program(vocab: vb.Vocabulary, cfg: "LoopConfig"):
     needs the BoW inverted index because exhaustive descriptor matching is
     infeasible on CPU; on the MXU the full (N x K*N) popcount distance is
     a chunked bf16 matmul (~137 GFLOP at K=256, N=1024 — sub-ms), so the
-    TPU-native design searches exhaustively and keeps BoW for the
-    keyframe-database/score API (vocab.py, DBoW2 text format parity)."""
+    TPU-native design ranks candidates exhaustively. The sparse keyframe
+    BoW database still scores every query (score_sparse_many) — the scores
+    and the reference's min-covisible-score threshold ride the detection
+    packet, feeding the optional DBoW2-style gate (cfg.bow_min_score_gate)
+    and the keyframe-database/score API (vocab.py, DBoW2 text parity)."""
     CHUNK = 16
 
     @jax.jit
@@ -150,16 +161,30 @@ def _make_kf_program(vocab: vb.Vocabulary, cfg: "LoopConfig"):
                 axis=1,
             )
 
+        # pad the row index space to a CHUNK multiple (capacities need not
+        # divide 16); the duplicate tail rows recompute row K-1 and are
+        # sliced off before masking
+        Kpad = -(-K // CHUNK) * CHUNK
+        rows = jnp.minimum(jnp.arange(Kpad, dtype=jnp.int32), K - 1)
         counts = jax.lax.map(
-            count_chunk, jnp.arange(K, dtype=jnp.int32).reshape(-1, CHUNK)
-        ).reshape(K)
+            count_chunk, rows.reshape(-1, CHUNK)
+        ).reshape(Kpad)[:K]
         counts = jnp.where(mask, counts, -1)
         top_c, top_i = jax.lax.top_k(counts, cfg.n_candidates)
+        # DBoW2 L1 scores of the query against the sparse keyframe BoW
+        # database (reference detector.rs:185) and the reference's gate
+        # threshold: the lowest score among the query's covisible
+        # keyframes (inf when it has none yet — host disables the gate)
+        bow_scores = vb.score_sparse_many(vocab, ids, w, db_ids, db_w)
+        covis_rows = connected & kf_valid & same_map & (idx != kf_id)
+        min_covis = jnp.min(jnp.where(covis_rows, bow_scores, jnp.inf))
         packet = jnp.concatenate(
             [
                 top_i.astype(jnp.float32),
                 top_c.astype(jnp.float32),
                 jnp.sum(feat_valid.astype(jnp.float32))[None],
+                bow_scores[top_i],
+                min_covis[None],
             ]
         )
         # candidate covisibility groups ride along so the host-side
@@ -296,6 +321,11 @@ class LoopCloser:
         self.stats = LoopStats()
         self._consistency_groups: list[tuple[set, int, int]] = []  # (group, chain, kf)
         self.last_loop_kf = -100
+        # True iff the most recent correction was a cross-map MERGE (the
+        # tracker's world frame itself moved); same-map loop corrections
+        # keep the anchor frame and must not rotate gravity (fused.py::
+        # _retarget_tracker)
+        self.last_was_merge = False
         # one-deep detection pipeline: the keyframe program launched for KF
         # k is fetched and acted on while servicing KF k+1, so the host
         # never blocks on a just-launched program (device compute + ~32 ms
@@ -421,6 +451,8 @@ class LoopCloser:
         cand_ids = arr[:nc].astype(int)
         cand_counts = arr[nc:2 * nc]
         n_valid = arr[2 * nc]
+        cand_bow = arr[2 * nc + 1:3 * nc + 1]
+        min_covis = arr[3 * nc + 1]
         # match-count floor: below it, even a true revisit has too little
         # overlap for the Sim3 + reprojection stages to confirm
         floor = max(cfg.rerank_min_frac * n_valid, cfg.min_sim3_matches)
@@ -431,6 +463,11 @@ class LoopCloser:
         to_try = []
         for r in range(nc):
             if cand_counts[r] < floor or cand_ids[r] < 0:
+                continue
+            # reference min-score gate (detector.rs): candidate must score
+            # at least as well as the worst covisible keyframe
+            if (cfg.bow_min_score_gate and np.isfinite(min_covis)
+                    and cand_bow[r] < min_covis):
                 continue
             self.stats = self.stats._replace(
                 candidates_checked=self.stats.candidates_checked + 1)
@@ -451,6 +488,7 @@ class LoopCloser:
             self.stats = self.stats._replace(verified=self.stats.verified + 1)
 
             cross_map = int(st.kf_map_id[cand]) != int(st.kf_map_id[kf_id])
+            self.last_was_merge = cross_map
             if cross_map:
                 st = self._merge_maps(st, kf_id, cand, S_rel)
                 # refine the welded map: pose graph over both segments +

@@ -484,22 +484,33 @@ def _slam_step_core(st: sm.MapState, ts: TrackState, left_u8, right_u8,
     return st, ts, out
 
 
-@jax.jit
-def _retarget_tracker(ts: TrackState, q_old, p_old, q_new, p_new) -> TrackState:
+@partial(jax.jit, static_argnames=("rotate_gravity",))
+def _retarget_tracker(ts: TrackState, q_old, p_old, q_new, p_new,
+                      rotate_gravity: bool = False) -> TrackState:
     """Apply a loop/merge correction's world-frame delta to the live tracker
     state. ts was estimated while keyframe k sat at (q_old, p_old); the
     correction moved k to (q_new, p_new), i.e. world points were remapped by
     T_delta = T_new . T_old^-1. The motion deltas (motion_dq/dp) are
     body-relative and invariant under this left multiplication.
     (reference analog: tracker reads corrected poses from the shared Atlas
-    after loop_corrected is set — here the state is explicit.)"""
+    after loop_corrected is set — here the state is explicit.)
+
+    gravity_w is a property of the MAP's world frame, not of the recent
+    segment: a same-map loop correction anchors the candidate (old) side
+    and folds the drifted recent segment back into that unchanged frame, so
+    gravity must NOT ride the delta — rotating it would tilt it by exactly
+    the drift rotation (~0.5 m/s^2 spurious specific force at 3 deg) and
+    poison every later pose_inertial/VI-BA step. Only a cross-map MERGE
+    (rotate_gravity=True) re-expresses the tracker's entire world frame in
+    the matched older map's frame, and then gravity transforms with it."""
     qd = quat.normalize(quat.mul(q_new, quat.conj(q_old)))
     pd = p_new - quat.rotate(qd, p_old)
     return ts._replace(
         q=quat.normalize(quat.mul(qd, ts.q)),
         p=quat.rotate(qd, ts.p) + pd,
         v=quat.rotate(qd, ts.v),
-        gravity_w=quat.rotate(qd, ts.gravity_w),
+        gravity_w=quat.rotate(qd, ts.gravity_w)
+        if rotate_gravity else ts.gravity_w,
     )
 
 
@@ -768,6 +779,7 @@ class FusedSlam:
             self.ts = _retarget_tracker(
                 self.ts, q_old, p_old,
                 self.map.kf_q[pk], self.map.kf_p[pk],
+                rotate_gravity=self.loop_closer.last_was_merge,
             )
 
     # ------------------------------------------------------------------
@@ -836,6 +848,7 @@ class FusedSlam:
                     self.ts = _retarget_tracker(
                         self.ts, q_old, p_old,
                         self.map.kf_q[k], self.map.kf_p[k],
+                        rotate_gravity=self.loop_closer.last_was_merge,
                     )
             self._n_kf_seen += 1
         if not new_kfs:

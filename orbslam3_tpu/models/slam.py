@@ -300,9 +300,15 @@ class SlamSystem:
         ):
             from orbslam3_tpu.map.compaction import compact_map
 
-            self.map, kf_map, _ = compact_map(self.map)
+            self.map, kf_map, mp_map = compact_map(self.map)
             if self.last_kf_id >= 0:
                 self.last_kf_id = int(kf_map[self.last_kf_id])
+            # `matched` holds PRE-compaction map-point rows; compaction
+            # permuted them (culled targets map to -1 = unmatched)
+            M = mp_map.shape[0]
+            matched = jnp.where(
+                matched >= 0, mp_map[jnp.clip(matched, 0, M - 1)], -1
+            )
         # capacity guard (mirrors fused.py's has_room): past max_kf the
         # clip-mode scatters in insert_keyframe would silently overwrite the
         # last row while n_kf keeps advancing, corrupting covisibility and

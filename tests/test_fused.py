@@ -82,3 +82,40 @@ def test_keyframe_capacity_guard():
     # tracking keeps running against the frozen map
     modes = slam.modes()
     assert (modes[-5:] != 0).all()
+
+
+def test_retarget_gravity_only_on_merge():
+    """A same-map loop correction keeps the map's world frame (anchor
+    fixed), so the tracker's gravity estimate must NOT ride the correction
+    delta; a cross-map merge re-expresses the whole frame and rotates it."""
+    import jax.numpy as jnp
+
+    from orbslam3_tpu.geometry import quat
+    from orbslam3_tpu.models.fused import TrackState, _retarget_tracker
+
+    ts = TrackState.initial()._replace(
+        q=quat.from_axis_angle(jnp.asarray([0.0, 0.0, 0.3])),
+        p=jnp.asarray([1.0, 2.0, 0.5]),
+        v=jnp.asarray([0.2, 0.0, -0.1]),
+        gravity_w=jnp.asarray([0.05, -0.02, -9.79]),
+    )
+    q_old = quat.from_axis_angle(jnp.asarray([0.0, 0.0, 0.25]))
+    p_old = jnp.asarray([0.9, 1.9, 0.45])
+    q_new = quat.from_axis_angle(jnp.asarray([0.0, 0.0, 0.10]))
+    p_new = jnp.asarray([0.5, 1.7, 0.40])
+
+    same_map = _retarget_tracker(ts, q_old, p_old, q_new, p_new,
+                                 rotate_gravity=False)
+    merged = _retarget_tracker(ts, q_old, p_old, q_new, p_new,
+                               rotate_gravity=True)
+    # pose/velocity ride the delta in both cases
+    assert not np.allclose(np.asarray(same_map.p), np.asarray(ts.p))
+    np.testing.assert_allclose(
+        np.asarray(same_map.p), np.asarray(merged.p), atol=1e-6)
+    # gravity: unchanged for same-map, rotated by the delta for merges
+    np.testing.assert_allclose(
+        np.asarray(same_map.gravity_w), np.asarray(ts.gravity_w), atol=1e-7)
+    qd = quat.normalize(quat.mul(q_new, quat.conj(q_old)))
+    np.testing.assert_allclose(
+        np.asarray(merged.gravity_w),
+        np.asarray(quat.rotate(qd, ts.gravity_w)), atol=1e-6)

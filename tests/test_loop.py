@@ -131,10 +131,11 @@ class TestPoseGraph:
         assert err.max() < 0.02, err
 
 
-def build_revisit_map(drift=np.array([0.4, 0.0, 0.2], np.float32)):
+def build_revisit_map(drift=np.array([0.4, 0.0, 0.2], np.float32),
+                      max_kf=16):
     """Two passes over the same landmark wall; pass 2 poses are drifted.
     Returns (MapState, lm_desc, true poses, drifted ids)."""
-    cap = MapCapacity(max_kf=16, n_feat=128, max_mp=2048, max_obs=8)
+    cap = MapCapacity(max_kf=max_kf, n_feat=128, max_mp=2048, max_obs=8)
     st = empty_map(cap)
     L = 96
     lm = np.stack(
@@ -198,7 +199,8 @@ def build_revisit_map(drift=np.array([0.4, 0.0, 0.2], np.float32)):
         )
         drift_ids.append(int(kid))
     # fix temporal chain
-    st = st._replace(kf_prev=jnp.asarray([-1, 0, 1, 2, 3, 4, 5, 6, 7, 8] + [-1] * 6, jnp.int32))
+    st = st._replace(kf_prev=jnp.asarray(
+        [-1, 0, 1, 2, 3, 4, 5, 6, 7, 8] + [-1] * (max_kf - 10), jnp.int32))
     return st, lm_desc, poses1, poses2
 
 
@@ -419,3 +421,66 @@ def test_loop_edges_accumulate_and_remap():
     assert all(
         K - 1 - i0 not in (i, j) for (i, j, *_) in closer._loop_edges
     )
+
+
+@pytest.mark.slow
+def test_detection_odd_capacity():
+    """Loop detection must accept map capacities that are not multiples of
+    the internal Hamming chunk (16): the padded row scan recomputes the
+    tail row and slices it off. Regression for the K%16 reshape crash."""
+    st, lm_desc, poses1, poses2 = build_revisit_map(max_kf=24)
+    corpus = np.concatenate(
+        [lm_desc, RNG.integers(0, 256, (2000, 32)).astype(np.uint8)]
+    )
+    voc = vb.train_vocabulary(corpus, k=6, levels=3)
+    # consistency_needed high: exercise detection only (no correction)
+    closer = LoopCloser(voc, LoopConfig(recent_gap=4, consistency_needed=99))
+    for k in range(int(st.n_kf)):
+        st, c = closer.on_keyframe(st, k, CAM)
+        assert not c
+    st, _ = closer.drain(st, CAM)
+    assert closer.stats.candidates_checked > 0
+
+
+def test_bow_min_score_gate():
+    """The detection packet carries DBoW2 scores + the reference's
+    min-covisible-score threshold; with the gate enabled a candidate
+    scoring below it is pruned before the consistency/verify stages."""
+    cap = MapCapacity(max_kf=16, n_feat=64, max_mp=256, max_obs=4)
+    st = empty_map(cap)
+    corpus = RNG.integers(0, 256, (512, 32)).astype(np.uint8)
+    voc = vb.train_vocabulary(corpus, k=5, levels=2)
+
+    def fake_packet(bow_score, min_covis):
+        cfg = LoopConfig()
+        nc = cfg.n_candidates
+        arr = np.zeros(3 * nc + 2, np.float32)
+        arr[0] = 5.0                 # candidate keyframe id
+        arr[nc] = 100.0              # mutual-match count (passes the floor)
+        arr[1:nc] = -1.0
+        arr[nc + 1:2 * nc] = -1.0
+        arr[2 * nc] = 64.0           # n_valid features
+        arr[2 * nc + 1] = bow_score  # candidate BoW score
+        arr[3 * nc + 1] = min_covis  # min covisible score
+        group = np.zeros((nc, cap.max_kf), bool)
+        return arr, group
+
+    # gate ON, candidate below the covisible floor -> pruned (the stats
+    # counter never increments)
+    closer = LoopCloser(voc, LoopConfig(bow_min_score_gate=True))
+    closer._pending = (8, *fake_packet(bow_score=0.2, min_covis=0.5))
+    st, c = closer.drain(st, CAM)
+    assert not c and closer.stats.candidates_checked == 0
+
+    # gate ON but no covisible keyframes yet (min_covis = inf) -> gate
+    # disabled, candidate reaches the consistency stage
+    closer2 = LoopCloser(voc, LoopConfig(bow_min_score_gate=True))
+    closer2._pending = (8, *fake_packet(bow_score=0.2, min_covis=np.inf))
+    st, c = closer2.drain(st, CAM)
+    assert closer2.stats.candidates_checked == 1
+
+    # gate OFF (default): the same low-scoring candidate is examined
+    closer3 = LoopCloser(voc, LoopConfig())
+    closer3._pending = (8, *fake_packet(bow_score=0.2, min_covis=0.5))
+    st, c = closer3.drain(st, CAM)
+    assert closer3.stats.candidates_checked == 1
