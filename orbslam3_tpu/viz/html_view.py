@@ -38,13 +38,18 @@ const cv = document.getElementById('c'), ctx = cv.getContext('2d');
 let W, H; function resize() {{ W = cv.width = innerWidth; H = cv.height = innerHeight; }}
 resize(); addEventListener('resize', () => {{ resize(); draw(); }});
 // center/scale the scene
-const all = DATA.points.concat(DATA.traj, DATA.gt, DATA.kf);
-let c = [0,0,0];
-for (const p of all) {{ c[0]+=p[0]; c[1]+=p[1]; c[2]+=p[2]; }}
-c = c.map(v => v / Math.max(all.length,1));
-let r = 1e-6;
-for (const p of all) r = Math.max(r, Math.hypot(p[0]-c[0], p[1]-c[1], p[2]-c[2]));
-let yaw = 0.7, pitch = 0.5, dist = 2.6*r, panX = 0, panY = 0;
+let c = [0,0,0], r = 1e-6;
+let yaw = 0.7, pitch = 0.5, dist = 1, panX = 0, panY = 0;
+function recenter() {{
+  const all = DATA.points.concat(DATA.traj, DATA.gt, DATA.kf);
+  c = [0,0,0];
+  for (const p of all) {{ c[0]+=p[0]; c[1]+=p[1]; c[2]+=p[2]; }}
+  c = c.map(v => v / Math.max(all.length,1));
+  r = 1e-6;
+  for (const p of all) r = Math.max(r, Math.hypot(p[0]-c[0], p[1]-c[1], p[2]-c[2]));
+  dist = 2.6*r;
+}}
+recenter();
 function proj(p) {{
   const x = p[0]-c[0], y = p[1]-c[1], z = p[2]-c[2];
   const cy_ = Math.cos(yaw), sy = Math.sin(yaw), cp = Math.cos(pitch), sp = Math.sin(pitch);
@@ -97,8 +102,61 @@ onmousemove = e => {{
 }};
 cv.onwheel = e => {{ dist *= Math.exp(e.deltaY * 0.001); draw(); e.preventDefault(); }};
 draw();
-</script></body></html>
+{live_js}</script></body></html>
 """
+
+# polling loop appended in live mode (viz/live.py): refresh DATA from the
+# server; auto-recenter only until the user takes over the camera
+_LIVE_JS = """
+let userView = false;
+cv.addEventListener('mousedown', () => userView = true);
+cv.addEventListener('wheel', () => userView = true);
+async function pollState() {
+  try {
+    const resp = await fetch('/state.json', {cache: 'no-store'});
+    if (resp.ok) {
+      const d = await resp.json();
+      DATA.points = d.points; DATA.kf = d.kf;
+      DATA.traj = d.traj; DATA.gt = d.gt;
+      if (!userView) recenter();
+      draw();
+    }
+  } catch (e) {}
+  setTimeout(pollState, POLL_MS);
+}
+pollState();
+"""
+
+
+def snapshot_data(map_state=None, traj=None, gt=None,
+                  max_points: int = 20000) -> dict:
+    """Host-side scene snapshot (one device_get per array — callers
+    throttle): valid map points (subsampled), keyframe positions, and the
+    estimated / ground-truth trajectories, all as plain lists."""
+    pts = np.zeros((0, 3), np.float32)
+    kfs = np.zeros((0, 3), np.float32)
+    if map_state is not None:
+        valid = np.asarray(map_state.mp_valid)
+        pts = np.asarray(map_state.mp_pos)[valid]
+        if len(pts) > max_points:
+            sel = np.random.default_rng(0).choice(len(pts), max_points, replace=False)
+            pts = pts[sel]
+        kfs = np.asarray(map_state.kf_p)[np.asarray(map_state.kf_valid)]
+    return dict(
+        points=np.round(pts, 4).tolist(),
+        kf=np.round(kfs, 4).tolist(),
+        traj=np.round(np.asarray(traj), 4).tolist() if traj is not None else [],
+        gt=np.round(np.asarray(gt), 4).tolist() if gt is not None else [],
+    )
+
+
+def render_page(data: dict, poll_ms: int | None = None) -> str:
+    """The viewer page: self-contained when poll_ms is None, otherwise a
+    live page that refreshes DATA from /state.json every poll_ms."""
+    live = ""
+    if poll_ms is not None:
+        live = f"const POLL_MS = {int(poll_ms)};" + _LIVE_JS
+    return _TEMPLATE.format(data_json=json.dumps(data), live_js=live)
 
 
 def save_html_view(path: str, map_state=None, traj=None, gt=None,
@@ -110,21 +168,7 @@ def save_html_view(path: str, map_state=None, traj=None, gt=None,
       traj: (T, 3) estimated positions
       gt: (T, 3) ground-truth positions (optional)
     """
-    pts = np.zeros((0, 3), np.float32)
-    kfs = np.zeros((0, 3), np.float32)
-    if map_state is not None:
-        valid = np.asarray(map_state.mp_valid)
-        pts = np.asarray(map_state.mp_pos)[valid]
-        if len(pts) > max_points:
-            sel = np.random.default_rng(0).choice(len(pts), max_points, replace=False)
-            pts = pts[sel]
-        kfs = np.asarray(map_state.kf_p)[np.asarray(map_state.kf_valid)]
-    data = dict(
-        points=np.round(pts, 4).tolist(),
-        kf=np.round(kfs, 4).tolist(),
-        traj=np.round(np.asarray(traj), 4).tolist() if traj is not None else [],
-        gt=np.round(np.asarray(gt), 4).tolist() if gt is not None else [],
-    )
+    data = snapshot_data(map_state, traj, gt, max_points)
     with open(path, "w") as f:
-        f.write(_TEMPLATE.format(data_json=json.dumps(data)))
+        f.write(render_page(data))
     return path

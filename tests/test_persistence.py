@@ -134,3 +134,43 @@ def test_resume_from_checkpoint(tmp_path):
         np.asarray(resumed.ts.p), np.asarray(slam.ts.p), atol=1e-4
     )
     assert int(resumed.map.n_kf) == int(slam.map.n_kf)
+
+
+def test_live_viewer_serves_and_updates():
+    """Live viewer (reference analog: the Rerun stream): the embedded HTTP
+    server serves the polling page and /state.json reflects each publish."""
+    import json
+    import urllib.request
+
+    import numpy as np
+
+    from orbslam3_tpu.map.slam_map import empty_map, insert_keyframe
+    from orbslam3_tpu.viz.live import LiveViewer
+    from tests.test_map import CAP, make_kf_inputs
+
+    viewer = LiveViewer(min_interval_s=0.0)
+    try:
+        def get(path):
+            with urllib.request.urlopen(viewer.url + path, timeout=10) as r:
+                return r.read().decode()
+
+        page = get("/")
+        assert "state.json" in page and "POLL_MS" in page
+
+        empty = json.loads(get("/state.json"))
+        assert empty["points"] == [] and empty["traj"] == []
+
+        st = empty_map(CAP)
+        st, _ = insert_keyframe(st, **make_kf_inputs(), new_mp_budget=16)
+        traj = np.cumsum(np.ones((30, 3)) * 0.01, axis=0)
+        assert viewer.publish(st, traj, traj + 0.01)
+
+        state = json.loads(get("/state.json"))
+        assert len(state["traj"]) == 30
+        assert len(state["points"]) > 0 and len(state["kf"]) == 1
+
+        # throttling: immediate re-publish below the interval is skipped
+        viewer._min_interval = 60.0
+        assert not viewer.publish(st, traj)
+    finally:
+        viewer.close()
