@@ -183,7 +183,13 @@ def main():
     import os
 
     os.makedirs("/root/repo/.jax_cache", exist_ok=True)
-    if not _probe_backend():
+    # retry across ~15 min: a short tunnel blip at bench time should not
+    # cost the round its perf number
+    for _ in range(4):
+        if _probe_backend():
+            break
+        time.sleep(45)
+    else:
         # emit a well-formed line instead of hanging the driver forever
         print(json.dumps({
             "metric": "tracked_fps_per_chip", "value": 0.0,
