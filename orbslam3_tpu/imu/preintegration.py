@@ -362,3 +362,20 @@ def integrate_assoc(gyro, acc, dts, mask, bias_g, bias_a, noise: ImuNoise = ImuN
     states = _single_step_states(gyro, acc, dts, mask, bias_g, bias_a, noise)
     merged = jax.lax.associative_scan(jax.vmap(merge), states)
     return jax.tree.map(lambda a: a[-1], merged)
+
+
+def pad_imu_window(gyro, acc, dts, n):
+    """Right-pad a variable-length host IMU window to the fixed device
+    shape: (gyro (n,3), acc (n,3), dt (n,), mask (n,)) numpy float32/bool.
+    The one padding implementation every pipeline front door shares
+    (FusedSlam / SlamSystem / MultiSessionSlam)."""
+    import numpy as np
+
+    k = min(len(dts), n)
+    g = np.zeros((n, 3), np.float32)
+    a = np.zeros((n, 3), np.float32)
+    d = np.zeros((n,), np.float32)
+    m = np.zeros((n,), bool)
+    if k:
+        g[:k], a[:k], d[:k], m[:k] = gyro[:k], acc[:k], dts[:k], True
+    return g, a, d, m

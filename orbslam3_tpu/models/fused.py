@@ -27,6 +27,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from orbslam3_tpu.frontend.camera import Camera
 from orbslam3_tpu.frontend.orb import detect_orb_pair
@@ -518,8 +519,6 @@ def _materialize(tree):
     """Fresh, unshared device buffers for every leaf (donation-safe: XLA
     constant-dedupes literals like repeated zeros, and donating the same
     buffer twice is an error)."""
-    import numpy as np
-
     return jax.tree.map(lambda a: jnp.asarray(np.array(a)), tree)
 
 
@@ -601,8 +600,6 @@ class FusedSlam:
         re-serviced for loop closing (_n_kf_seen starts at n_kf); they
         remain loop-closure CANDIDATES regardless, because place
         recognition matches against kf_desc directly."""
-        import numpy as np
-
         slam = cls(cam, cfg, **kwargs)
         slam.map = jax.tree.map(jnp.asarray, map_state)
         slam.ts = jax.tree.map(jnp.asarray, track_state)
@@ -642,21 +639,9 @@ class FusedSlam:
         }
 
     def _pad_imu(self, gyro, acc, dts):
-        import numpy as np
-
-        n = self.cfg.max_imu_per_frame
-        k = min(len(dts), n)
-        g = np.zeros((n, 3), np.float32)
-        a = np.zeros((n, 3), np.float32)
-        d = np.zeros((n,), np.float32)
-        m = np.zeros((n,), bool)
-        if k:
-            g[:k], a[:k], d[:k], m[:k] = gyro[:k], acc[:k], dts[:k], True
-        return g, a, d, m
+        return pre.pad_imu_window(gyro, acc, dts, self.cfg.max_imu_per_frame)
 
     def process_frame(self, left, right, gyro, acc, dts, t: float):
-        import numpy as np
-
         g, a, d, m = self._pad_imu(gyro, acc, dts)
         l_u8 = np.asarray(left, np.uint8) if left.dtype != np.uint8 else left
         r_u8 = np.asarray(right, np.uint8) if right.dtype != np.uint8 else right
@@ -706,8 +691,6 @@ class FusedSlam:
         """Reclaim culled rows when capacity nears exhaustion (the SoA
         analog of the reference's unbounded map — map.rs:30-41). Runs as a
         host service: one extra dispatch, only near the capacity ceiling."""
-        import numpy as np
-
         from orbslam3_tpu.map.compaction import compact_map
 
         if not self._compact_due():
@@ -738,8 +721,6 @@ class FusedSlam:
 
     def flush(self):
         """Dispatch any buffered frames as one chunked device call."""
-        import numpy as np
-
         if not self._pending:
             return None
         t0 = self._tic()
@@ -795,8 +776,6 @@ class FusedSlam:
         staleness only delays a keyframe's loop-closing service by one
         round — the detection packet itself is already pipelined the same
         way. `final=True` (finalize) reads synchronously and drains."""
-        import numpy as np
-
         cfg = self.cfg
         # `+ 0` copies the scalar into a buffer of its own: self.map is
         # DONATED into the next slam_step, which would delete the raw
@@ -827,9 +806,11 @@ class FusedSlam:
             self._imu_refine()
             self._toc("imu_refine", t0)
         new_kfs = self._n_kf_seen < n_kf
+        # per-keyframe host services: map maintenance (triangulation,
+        # fusion, culling) runs ON-DEVICE inside slam_step's keyframe
+        # branch; only loop closing remains host-side
         while self._n_kf_seen < n_kf:
             k = self._n_kf_seen
-            self._per_keyframe_services(jnp.int32(k))
             if self.loop_closer is not None:
                 # snapshot this keyframe's pose: if the loop closer corrects
                 # the map, the LIVE tracker state (estimated against the
@@ -866,14 +847,7 @@ class FusedSlam:
                 self.loop_closer.stats.corrected if self.loop_closer else "-",
             )
 
-    def _per_keyframe_services(self, k):
-        """Host-side per-keyframe work. Map maintenance (triangulation,
-        fusion, keyframe culling) now runs ON-DEVICE inside slam_step's
-        keyframe branch; only vocabulary/loop-closing remains here."""
-
     def _try_imu_init(self, n_kf):
-        import numpy as np
-
         from orbslam3_tpu.optim.imu_init import inertial_init
 
         cfg = self.cfg
@@ -945,8 +919,6 @@ class FusedSlam:
         VI-BA-polished keyframe poses (reference: bias-only and
         scale/Rwg refinement passes, inertial_init_optim.rs:12-14).
         Round 1 estimated gravity exactly once (VERDICT missing #8)."""
-        import numpy as np
-
         from orbslam3_tpu.optim.imu_init import inertial_init
 
         scale = dict(
@@ -1013,8 +985,6 @@ class FusedSlam:
     def _flat_outs(self):
         """Host-side flatten: chunked entries hold batched FrameOuts.
         Returns (times, outs, epochs) with one epoch index per frame."""
-        import numpy as np
-
         ts_, outs, eps = [], [], []
         for (t, o), ep in zip(self.outs, self._out_epochs):
             if isinstance(t, list):  # chunked
@@ -1035,8 +1005,6 @@ class FusedSlam:
         any compaction remaps), so loop closures / map merges apply to the
         whole history — the raw stream keeps pre-correction poses and
         jumps at every weld."""
-        import numpy as np
-
         from orbslam3_tpu.io.synthetic import _qmul, _qnorm, _qrot
 
         ts_, outs, eps = self._flat_outs()
@@ -1071,7 +1039,5 @@ class FusedSlam:
         return np.asarray(ts_), ps, qs
 
     def modes(self):
-        import numpy as np
-
         ts_, outs, _ = self._flat_outs()
         return np.array([int(o.mode) for o in outs])

@@ -135,16 +135,7 @@ class SlamSystem:
 
     # ------------------------------------------------------------------
     def _pad_imu(self, gyro, acc, dts, n):
-        k = min(len(dts), n)
-        g = np.zeros((n, 3), np.float32)
-        a = np.zeros((n, 3), np.float32)
-        d = np.zeros((n,), np.float32)
-        m = np.zeros((n,), bool)
-        if k:
-            g[:k] = gyro[:k]
-            a[:k] = acc[:k]
-            d[:k] = dts[:k]
-            m[:k] = True
+        g, a, d, m = pre.pad_imu_window(gyro, acc, dts, n)
         return jnp.asarray(g), jnp.asarray(a), jnp.asarray(d), jnp.asarray(m)
 
     def _integrate_window(self, gyro, acc, dts, n):

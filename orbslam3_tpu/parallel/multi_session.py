@@ -27,6 +27,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from orbslam3_tpu.frontend.camera import Camera
+from orbslam3_tpu.imu.preintegration import pad_imu_window
 from orbslam3_tpu.map.slam_map import empty_map
 from orbslam3_tpu.models.fused import FrameOut, TrackState, _slam_step_core
 
@@ -111,14 +112,8 @@ class MultiSessionSlam:
         """Buffer one frame for `session`; dispatches one mesh step once
         EVERY session holds `chunk` frames (sessions advance in lockstep —
         feed them round-robin)."""
-        n = self.cfg.max_imu_per_frame
-        k = min(len(dts), n)
-        g = np.zeros((n, 3), np.float32)
-        a = np.zeros((n, 3), np.float32)
-        d = np.zeros((n,), np.float32)
-        m = np.zeros((n,), bool)
-        if k:
-            g[:k], a[:k], d[:k], m[:k] = gyro[:k], acc[:k], dts[:k], True
+        g, a, d, m = pad_imu_window(gyro, acc, dts,
+                                    self.cfg.max_imu_per_frame)
         frame = (np.asarray(left, np.uint8), np.asarray(right, np.uint8),
                  g, a, d, m, np.float32(t))
         self._pending[session].append(frame)
