@@ -31,6 +31,10 @@ class Camera(NamedTuple):
     def create(fx, fy, cx, cy, baseline, width=752, height=480,
                q_bc=None, p_bc=None) -> "Camera":
         f = jnp.float32
+        if p_bc is not None and q_bc is None:
+            # pure-translation extrinsic (lever arm, identity rotation) —
+            # must not be silently dropped by the q_bc gates below
+            q_bc = (1.0, 0.0, 0.0, 0.0)
         if q_bc is not None:
             q_bc = jnp.asarray(q_bc, jnp.float32)
             p_bc = jnp.zeros(3, jnp.float32) if p_bc is None else jnp.asarray(p_bc, jnp.float32)

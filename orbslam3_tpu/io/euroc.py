@@ -75,6 +75,37 @@ def _parse_sensor_yaml(path: str) -> dict:
     return out
 
 
+class ImuCalib(NamedTuple):
+    noise: "object"  # ImuNoise (imported lazily — io stays jax-free)
+    T_BS: np.ndarray  # (4, 4) body-from-IMU (identity on EuRoC)
+    rate_hz: float
+
+
+def load_imu_calib(imu_dir: str) -> Optional[ImuCalib]:
+    """Read imu0/sensor.yaml noise densities into ImuNoise.
+
+    Beats the reference, which hard-codes the EuRoC MH values
+    (src/imu/sample.rs:24-33) and would mis-weight IMU edges on any other
+    rig; here the published per-dataset densities flow straight into the
+    preintegration covariance.
+    """
+    p = os.path.join(imu_dir, "sensor.yaml")
+    if not os.path.exists(p):
+        return None
+    y = _parse_sensor_yaml(p)
+    from orbslam3_tpu.imu.preintegration import ImuNoise
+
+    noise = ImuNoise(
+        sigma_g=float(y.get("gyroscope_noise_density", 1.7e-4)),
+        sigma_a=float(y.get("accelerometer_noise_density", 2.0e-3)),
+        sigma_bg=float(y.get("gyroscope_random_walk", 1.9e-5)),
+        sigma_ba=float(y.get("accelerometer_random_walk", 3.0e-3)),
+    )
+    T = np.array(y["T_BS"]["data"], np.float64).reshape(4, 4) if "T_BS" in y \
+        else np.eye(4)
+    return ImuCalib(noise, T, float(y.get("rate_hz", 200.0)))
+
+
 def load_cam_calib(cam_dir: str) -> CamCalib:
     y = _parse_sensor_yaml(os.path.join(cam_dir, "sensor.yaml"))
     fu, fv, cu, cv = y["intrinsics"]
@@ -98,6 +129,14 @@ class EurocDataset:
         ts1, files1 = self._read_image_list("cam1")
         self._cam1_files = dict(zip(ts1, files1))
         self.imu_ts, self.imu_gyro, self.imu_acc = self._read_imu()
+        self.imu_calib = load_imu_calib(os.path.join(path, "imu0"))
+        # sequence-relative time origin: EuRoC timestamps are ns since the
+        # Unix epoch (~1.4e9 s) — fed raw into the pipeline they exceed
+        # float32's integer resolution (~128 s at that magnitude), which
+        # silently zeroes every keyframe time span (IMU init never fires)
+        # and corrupts dt-based velocity estimates. All times this loader
+        # hands out are seconds since the first image.
+        self.t0_ns = int(self.image_ts[0]) if self.image_ts else 0
         self.gt = self._read_groundtruth()
         # baseline from the cam0->cam1 transform (reference: euroc.rs:329-359)
         T_c1_c0 = np.linalg.inv(self.cam1.T_BS) @ self.cam0.T_BS
@@ -160,7 +199,7 @@ class EurocDataset:
         return len(self.image_ts)
 
     def frame_time(self, i: int) -> float:
-        return self.image_ts[i] * 1e-9
+        return (self.image_ts[i] - self.t0_ns) * 1e-9
 
     def stereo_pair(self, i: int):
         """Load the i-th stereo pair as (left, right) (H, W) f32 arrays 0-255."""
@@ -174,8 +213,9 @@ class EurocDataset:
         return left, right
 
     def imu_between(self, t0: float, t1: float):
-        """IMU samples with t0 <= t < t1 (seconds). Returns (gyro, acc, dts)."""
-        ts = self.imu_ts * 1e-9
+        """IMU samples with t0 <= t < t1 (sequence-relative seconds).
+        Returns (gyro, acc, dts)."""
+        ts = (self.imu_ts - self.t0_ns) * 1e-9
         m = (ts >= t0) & (ts < t1)
         idx = np.nonzero(m)[0]
         if len(idx) == 0:
@@ -188,8 +228,8 @@ class EurocDataset:
         """GT positions resampled at image timestamps (centered at origin)."""
         if self.gt is None:
             return None
-        gt_ts = self.gt["ts"] * 1e-9
-        img_ts = np.asarray(self.image_ts) * 1e-9
+        gt_ts = (self.gt["ts"] - self.t0_ns) * 1e-9
+        img_ts = (np.asarray(self.image_ts) - self.t0_ns) * 1e-9
         pos = np.stack(
             [np.interp(img_ts, gt_ts, self.gt["pos"][:, k]) for k in range(3)], -1
         )

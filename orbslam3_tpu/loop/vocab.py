@@ -208,10 +208,13 @@ def score_sparse_many(vocab: Vocabulary, q_ids, q_w, db_ids, db_w):
     For L1-normalized non-negative vectors, 1 - 0.5*||a-b||_1 ==
     sum_i min(a_i, b_i); evaluated as one dense scatter of the query
     (n_leaves scratch) + a (K, L) gather + reduce."""
+    # Padded -1 ids are routed OUT of bounds and dropped: scattering them to
+    # index 0 with weight 0 would race a real leaf-0 entry (duplicate-index
+    # scatter order is unspecified) and nondeterministically clobber it.
     qd = (
         jnp.zeros((vocab.n_leaves,), jnp.float32)
-        .at[jnp.where(q_ids >= 0, q_ids, 0)]
-        .set(jnp.where(q_ids >= 0, q_w, 0.0))
+        .at[jnp.where(q_ids >= 0, q_ids, vocab.n_leaves)]
+        .set(jnp.where(q_ids >= 0, q_w, 0.0), mode="drop")
     )
     g = qd[jnp.clip(db_ids, 0, vocab.n_leaves - 1)]
     g = jnp.where(db_ids >= 0, g, 0.0)

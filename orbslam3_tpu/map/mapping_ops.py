@@ -238,6 +238,55 @@ def keyframe_redundancy(st: MapState, kf_id, min_other_obs: int = 3):
     )
 
 
+@partial(jax.jit, static_argnames=("min_other_obs",))
+def select_cull_candidate(st: MapState, kf_id, thresh, max_gap,
+                          min_other_obs: int = 3):
+    """Most-redundant covisible keyframe of kf_id, or -1 if none qualifies.
+
+    Vectorized over ALL keyframes at once (one (K, N) gather pass) — the
+    reference walks every covisible keyframe per insertion
+    (local_mapper.rs:487-571: redundancy > 0.9 visual / 0.5 inertial with
+    >= 3 observations elsewhere; never the current or root keyframe).
+    Beyond the reference we also bound the post-merge preintegration gap
+    (max_gap seconds between the candidate's temporal neighbors) so
+    inertial culling can't stretch an IMU edge past usefulness.
+    """
+    K, N = st.kf_mp.shape
+    M = st.mp_pos.shape[0]
+    refs = st.kf_mp
+    refs_safe = jnp.clip(refs, 0, M - 1)
+    ok = (refs >= 0) & st.mp_valid[refs_safe]
+    obs = st.mp_obs_n[refs_safe]
+    redundant = ok & (obs >= min_other_obs + 1)
+    red = jnp.sum(redundant.astype(jnp.float32), 1) / jnp.maximum(
+        jnp.sum(ok.astype(jnp.float32), 1), 1.0
+    )
+
+    # per-keyframe successor time via scatter-min over the temporal chain
+    prev = st.kf_prev
+    succ_t = (
+        jnp.full((K,), jnp.inf)
+        .at[jnp.where((prev >= 0) & st.kf_valid, prev, K)]
+        .min(st.kf_time, mode="drop")
+    )
+    has_succ = jnp.isfinite(succ_t)
+    gap = succ_t - st.kf_time[jnp.clip(prev, 0, K - 1)]
+
+    idx = jnp.arange(K, dtype=jnp.int32)
+    cand = (
+        st.kf_valid
+        & (st.kf_map_id == st.kf_map_id[kf_id])
+        & (st.covis[kf_id] > 0)
+        & (idx != kf_id)
+        & (prev >= 0)  # never the root keyframe
+        & has_succ  # never the newest (keeps the chain repairable)
+        & (gap <= max_gap)
+        & (red > thresh)
+    )
+    best = jnp.argmax(jnp.where(cand, red, -1.0)).astype(jnp.int32)
+    return jnp.where(jnp.any(cand), best, -1)
+
+
 @jax.jit
 def remove_keyframe(st: MapState, kf_id):
     """Remove a redundant keyframe: clear its observations, merge its

@@ -173,7 +173,8 @@ def _slam_step_core(st: sm.MapState, ts: TrackState, left_u8, right_u8,
     have_imu = jnp.sum(imu_mask.astype(jnp.int32)) > 0
     # associative-scan preintegration: O(log N) depth (merge is the
     # exact segment composition), measured faster than the sequential scan
-    preint_frame = pre.integrate_assoc(gyro, acc, dts, imu_mask, ts.bg, ts.ba)
+    preint_frame = pre.integrate_assoc(gyro, acc, dts, imu_mask, ts.bg, ts.ba,
+                                       noise=cfg.imu_noise)
     kf_preint = jax.tree.map(
         lambda a, b: jnp.where(have_imu, a, b),
         pre.merge(ts.kf_preint, preint_frame),
@@ -232,10 +233,38 @@ def _slam_step_core(st: sm.MapState, ts: TrackState, left_u8, right_u8,
     valid = matched >= 0
     enough = n_matches >= cfg.min_track_inliers
 
+    # no-prior robust pose (the reference's PnP-RANSAC role, pnp.rs:29-137):
+    # when projection matching under-filled — i.e. the motion/IMU prior is
+    # suspect — seed the GN solve from a batched 3D-3D RANSAC over the
+    # fallback matches instead of trusting the broken prior. Runs only
+    # under the fallback branch, so the common path pays nothing.
+    q_seed, p_seed = q_pred, p_pred
+    if cfg.ransac_fallback:
+        from orbslam3_tpu.optim.robust_pose import robust_pose_3d3d
+
+        def ransac_seed(_):
+            val3 = valid & has_depth
+            key = jax.random.fold_in(
+                jax.random.PRNGKey(17),
+                jax.lax.bitcast_convert_type(
+                    jnp.asarray(t, jnp.float32), jnp.int32),
+            )
+            q_h, p_h, _inl, n_h = robust_pose_3d3d(
+                mp_w, points_body, val3, key, cam.bf, cam.fx,
+                n_hyp=cfg.ransac_hyps,
+            )
+            ok = n_h >= cfg.min_track_inliers
+            return (jnp.where(ok, q_h, q_pred), jnp.where(ok, p_h, p_pred))
+
+        q_seed, p_seed = jax.lax.cond(
+            use_fallback, ransac_seed, lambda _: (q_pred, p_pred),
+            operand=None,
+        )
+
     def solve_vi(_):
         kf = ts.last_kf
         q_n, p_n, v_n, _bg, _ba, inl, n_inl = pose_inertial_optimize(
-            q_pred, p_pred, v_pred, ts.bg, ts.ba, cam,
+            q_seed, p_seed, v_pred, ts.bg, ts.ba, cam,
             mp_w, featL.uv, jnp.where(valid, u_r, -1.0),
             featL.octave, valid.astype(jnp.float32),
             ts.kf_preint, st.kf_q[kf], st.kf_p[kf], st.kf_v[kf],
@@ -245,7 +274,7 @@ def _slam_step_core(st: sm.MapState, ts: TrackState, left_u8, right_u8,
 
     def solve_vis(_):
         res = pose_optimize(
-            q_pred, p_pred, cam, mp_w, featL.uv,
+            q_seed, p_seed, cam, mp_w, featL.uv,
             jnp.where(valid, u_r, -1.0), featL.octave, valid,
         )
         v_n = jnp.where(
@@ -387,24 +416,35 @@ def _slam_step_core(st: sm.MapState, ts: TrackState, left_u8, right_u8,
                 lambda s: s,
                 st_,
             )
-        # redundancy keyframe culling (reference local_mapper.rs:487) —
-        # test an older keyframe, never the recent VI chain
+        # redundancy keyframe culling (reference local_mapper.rs:487-571):
+        # every covisible keyframe is a candidate (vectorized selection),
+        # threshold 0.9 visual / kf_cull_redundancy_vi inertial; up to
+        # kf_cull_max_per_insert removals per insertion (redundancy is
+        # recomputed after each removal since obs counts change) bounds KF
+        # growth during hovers the way the reference's cull-all pass does.
         if cfg.kf_cull_redundancy > 0:
-            from orbslam3_tpu.map.mapping_ops import keyframe_redundancy, remove_keyframe
+            from orbslam3_tpu.map.mapping_ops import (
+                remove_keyframe, select_cull_candidate)
 
-            cand = kf_id - 4
-            can_try = (cand > 0) & (n_in_map >= 7) & st_.kf_valid[jnp.clip(cand, 0, st_.kf_valid.shape[0] - 1)]
+            thresh = jnp.where(
+                ts_.imu_ok, cfg.kf_cull_redundancy_vi, cfg.kf_cull_redundancy
+            ).astype(jnp.float32)
+            max_gap = jnp.float32(cfg.kf_cull_max_gap)
 
-            def do_cull_kf(s):
-                r = keyframe_redundancy(s, jnp.clip(cand, 0, s.kf_valid.shape[0] - 1))
-                return jax.lax.cond(
-                    r > cfg.kf_cull_redundancy,
-                    lambda ss: remove_keyframe(ss, jnp.clip(cand, 0, ss.kf_valid.shape[0] - 1)),
+            def cull_once(s, _):
+                cand = select_cull_candidate(s, kf_id, thresh, max_gap)
+                s = jax.lax.cond(
+                    (cand >= 0) & (n_in_map >= 7),
+                    lambda ss: remove_keyframe(
+                        ss, jnp.clip(cand, 0, ss.kf_valid.shape[0] - 1)),
                     lambda ss: ss,
                     s,
                 )
+                return s, None
 
-            st_ = jax.lax.cond(can_try, do_cull_kf, lambda s: s, st_)
+            st_, _ = jax.lax.scan(
+                cull_once, st_, None, length=cfg.kf_cull_max_per_insert
+            )
 
         # cull every cull_every_kfs keyframes
         cull_due = ts_.kfs_since_cull + 1 >= cfg.cull_every_kfs
@@ -563,6 +603,11 @@ class FusedSlam:
         self._imu_phase = 0  # 0 uninit, 1 init, 2 refined@5s, 3 refined@15s
         # async n_kf snapshot for one-round-delayed keyframe services
         self._nkf_inflight = None
+        # pipelined atlas-size snapshot (same pattern): tells the loop
+        # closer whether archived maps exist, so young single-map
+        # keyframes can skip the exhaustive detection pass
+        self._mapid_inflight = None
+        self._multi_map = False
         self._last_t = 0.0
         self.loop_closer = None
         if vocabulary is not None:
@@ -698,10 +743,21 @@ class FusedSlam:
         n_kf, n_mp = int(self.map.n_kf), int(self.map.n_mp)
         cap = self.cfg.cap
         if n_kf >= cap.max_kf - 4 or n_mp >= cap.max_mp - 2 * self.cfg.new_mp_budget:
+            prev_chain = np.asarray(self.map.kf_prev)  # pre-compaction rows
             self.map, kf_map, _mp_map = compact_map(self.map)
             km = np.asarray(kf_map)
+            # If the tracker's reference keyframe was culled, walk its
+            # temporal chain to the nearest surviving predecessor rather
+            # than silently re-referencing row 0 (an arbitrary oldest KF).
             lk = int(self.ts.last_kf)
-            new_lk = int(km[lk]) if 0 <= lk < len(km) else -1
+            new_lk = -1
+            for _ in range(len(km)):
+                if not (0 <= lk < len(km)):
+                    break
+                new_lk = int(km[lk])
+                if new_lk >= 0:
+                    break
+                lk = int(prev_chain[lk])
             self.ts = self.ts._replace(last_kf=jnp.int32(max(new_lk, 0)))
             if self.loop_closer is not None:
                 self.loop_closer.remap_rows(km)
@@ -781,14 +837,20 @@ class FusedSlam:
         # DONATED into the next slam_step, which would delete the raw
         # n_kf handle before next round reads it
         snap, self._nkf_inflight = self._nkf_inflight, self.map.n_kf + jnp.int32(0)
+        snap_mm, self._mapid_inflight = (
+            self._mapid_inflight, self.map.next_map_id + jnp.int32(0))
         try:
             self._nkf_inflight.copy_to_host_async()
+            self._mapid_inflight.copy_to_host_async()
         except AttributeError:
             pass
         if final or snap is None:
             n_kf = int(self.map.n_kf)
         else:
             n_kf = int(snap)
+        if snap_mm is not None:
+            # sticky: once archived maps exist, detection stays full-scope
+            self._multi_map = self._multi_map or int(snap_mm) > 1
         if cfg.use_imu and not self.imu_initialized:
             # TRUE count, synchronous: the stale snapshot excludes the
             # newest 1-2 keyframes, and on heavily-culled maps (static
@@ -822,7 +884,7 @@ class FusedSlam:
                 q_old, p_old = self.map.kf_q[k], self.map.kf_p[k]
                 t0 = self._tic()
                 self.map, corrected = self.loop_closer.on_keyframe(
-                    self.map, k, self.cam
+                    self.map, k, self.cam, multi_map=self._multi_map
                 )
                 self._toc("loop_correct" if corrected else "loop_service", t0)
                 if corrected:

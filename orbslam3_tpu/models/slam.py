@@ -72,6 +72,10 @@ class SlamConfig(NamedTuple):
     new_mp_budget: int = 384
     # IMU
     use_imu: bool = True
+    # continuous-time noise densities; load per-rig values from the
+    # dataset's imu0/sensor.yaml via io.euroc.load_imu_calib (the reference
+    # hard-codes EuRoC MH values — sample.rs:24-33)
+    imu_noise: pre.ImuNoise = pre.ImuNoise()
     imu_init_kfs: int = 12  # keyframes needed before IMU initialization
     imu_init_min_time: float = 1.0
     max_imu_per_frame: int = 32
@@ -82,12 +86,22 @@ class SlamConfig(NamedTuple):
     # recovery (reference: mInsertKFsLost tracker.rs:232-268; bad_imu
     # static-camera guard imu_init.rs:194-233: <2 cm over 10 s => reset)
     insert_kfs_lost: bool = True
+    # no-prior robust pose on the fallback path (reference: solve_pnp_ransac
+    # pnp.rs:29-137; here batched 3D-3D Horn-RANSAC, optim/robust_pose.py)
+    ransac_fallback: bool = True
+    ransac_hyps: int = 128
     bad_imu_timeout: float = 10.0
     bad_imu_min_motion: float = 0.02
     # map maintenance (host services)
     fuse_neighbors: bool = True  # search_in_neighbors duplicate fusion
     triangulate_mono: bool = True  # 2-view DLT for unmatched mono features
     kf_cull_redundancy: float = 0.92  # 0 disables keyframe culling
+    # inertial-mode threshold (reference uses 0.5 — more aggressive "to
+    # keep computational cost down"; we default less aggressive because
+    # the fused VI-BA window is temporal and benefits from chain density)
+    kf_cull_redundancy_vi: float = 0.7
+    kf_cull_max_per_insert: int = 2  # removals per keyframe insertion
+    kf_cull_max_gap: float = 3.0  # max post-merge preintegration gap [s]
     update_point_stats: bool = True  # medoid descriptor + normal refresh
 
 
@@ -140,7 +154,8 @@ class SlamSystem:
 
     def _integrate_window(self, gyro, acc, dts, n):
         g, a, d, m = self._pad_imu(gyro, acc, dts, n)
-        return pre.integrate(g, a, d, m, self.bg, self.ba)
+        return pre.integrate(g, a, d, m, self.bg, self.ba,
+                             noise=self.cfg.imu_noise)
 
     # ------------------------------------------------------------------
     def process_frame(self, left, right, gyro, acc, dts, t: float) -> FrameResult:

@@ -79,7 +79,16 @@ def match_local_map(
     )
 
     P = cfg.p_local
-    _, sel = jax.lax.top_k(in_frustum.astype(jnp.float32), P)
+    # Over-budget selection is QUALITY-scored, not index-ordered: top_k on
+    # the raw boolean would keep the P lowest-index (oldest) frustum points
+    # and silently starve every newer landmark (VERDICT r2 weak #4b). Rank
+    # by tracking quality found/visible (new points get a 0.5 prior so they
+    # beat proven-bad points but lose to proven-good ones).
+    fr = st.mp_found.astype(jnp.float32) / jnp.maximum(
+        st.mp_visible.astype(jnp.float32), 1.0
+    )
+    quality = jnp.where(st.mp_visible > 1, fr, 0.5)
+    _, sel = jax.lax.top_k(jnp.where(in_frustum, 1.0 + quality, 0.0), P)
     sel_ok = in_frustum[sel]
 
     d_desc = hamming_matrix(st.mp_desc[sel], desc).astype(jnp.float32)  # (P, N)

