@@ -358,7 +358,7 @@ def _slam_step_core(st: sm.MapState, ts: TrackState, left_u8, right_u8,
         # (reference: local_mapper.rs:334 chooses inertial vs visual BA)
         def do_vis_ba(stt):
             prob, ids, valid_w, pt_ids, pt_valid = build_ba_problem(
-                stt, kf_id, cfg.ba_window, cfg.ba_points
+                stt, kf_id, cfg.ba_window, cfg.ba_points, cfg.ba_fixed
             )
             res = solve_local_ba(prob, cam, iters=cfg.ba_iters)
             kf_q, kf_p, mp_pos = apply_ba_results(
@@ -368,7 +368,8 @@ def _slam_step_core(st: sm.MapState, ts: TrackState, left_u8, right_u8,
 
         def do_vi_ba(stt):
             prob, ids, valid_w, pt_ids, pt_valid = build_vi_ba_problem(
-                stt, kf_id, cfg.ba_window, cfg.ba_points, ts_.gravity_w
+                stt, kf_id, cfg.ba_window, cfg.ba_points, ts_.gravity_w,
+                cfg.vi_ba_fixed,
             )
             res = solve_vi_ba(prob, cam, iters=cfg.ba_iters)
             kf_q, kf_p, kf_v, kf_bg, kf_ba, mp_pos = apply_vi_ba_results(

@@ -18,42 +18,82 @@ from orbslam3_tpu.map.slam_map import MapState, local_window, mp_slots_for_kfs
 from orbslam3_tpu.optim.local_ba import BAProblem, solve_local_ba
 
 
-@partial(jax.jit, static_argnames=("window", "max_points"))
-def build_ba_problem(st: MapState, kf_id, window: int, max_points: int):
+@partial(jax.jit, static_argnames=("window", "max_points", "fixed"))
+def build_ba_problem(st: MapState, kf_id, window: int, max_points: int,
+                     fixed: int = 8):
     """Gather the local BA problem around kf_id.
 
     Window = kf_id + top covisible keyframes (reference: local_ba_lm.rs:
-    344-361 uses current + <=20 covisible with the anchor fixed). The oldest
-    valid window keyframe is the gauge anchor (fixed).
+    344-361 uses current + covisible, anchor fixed), PLUS up to `fixed`
+    FIXED observer keyframes — out-of-window keyframes most covisible with
+    the window, included with opt_cam=False so their observations pin the
+    local points (reference: collect_fixed_keyframes, local_ba_lm.rs:
+    355-391). Without them the window's only gauge tie is the single
+    anchor keyframe and each solve can rotate the local cloud slightly —
+    measured as smooth visual-only drift (ATE 0.35-0.74 m on an 8 s run)
+    with per-frame tracking looking perfect.
     """
-    ids, valid = local_window(st, kf_id, window)
+    ids_w, valid_w = local_window(st, kf_id, window)
     M = st.mp_pos.shape[0]
+    K = st.kf_valid.shape[0]
+    fixed = min(fixed, K)  # static: tiny test maps may hold < `fixed` KFs
 
-    pt_ids, pt_valid = mp_slots_for_kfs(st, ids, valid, max_points)
+    # points come from the OPTIMIZED window only
+    pt_ids, pt_valid = mp_slots_for_kfs(st, ids_w, valid_w, max_points)
     P = max_points
+    # invalid slots route OUT of bounds and drop: scattering them to row 0
+    # would race a real slot mapping for map-point 0 (duplicate-index
+    # scatter order is unspecified — same bug class as the vocab.py
+    # duplicate-scatter ADVICE finding)
     inv = jnp.full((M,), -1, jnp.int32)
-    inv = inv.at[jnp.where(pt_valid, pt_ids, 0)].set(
-        jnp.where(pt_valid, jnp.arange(P, dtype=jnp.int32), -1)
+    inv = inv.at[jnp.where(pt_valid, pt_ids, M)].set(
+        jnp.arange(P, dtype=jnp.int32), mode="drop"
     )
-
-    refs = st.kf_mp[ids]  # (W, N)
-    obs_pt = jnp.where(refs >= 0, inv[jnp.clip(refs, 0, M - 1)], -1)
 
     # gauge anchor: oldest valid keyframe in the window
     BIGI = jnp.int32(2**30)
-    oldest = jnp.min(jnp.where(valid, ids, BIGI))
-    opt_cam = valid & (ids != oldest)
+    oldest = jnp.min(jnp.where(valid_w, ids_w, BIGI))
+
+    if fixed > 0:
+        ids_w_safe = jnp.where(valid_w, ids_w, 0)
+        covis_sum = jnp.sum(
+            jnp.where(valid_w[:, None], st.covis[ids_w_safe], 0), axis=0
+        )  # (K,) total covisibility with the window
+        in_window = (
+            jnp.zeros((K,), bool)
+            .at[jnp.where(valid_w, ids_w, K)]
+            .set(True, mode="drop")
+        )
+        score = jnp.where(
+            st.kf_valid & ~in_window
+            & (st.kf_map_id == st.kf_map_id[kf_id]),
+            covis_sum, 0,
+        )
+        fx_score, fx_ids = jax.lax.top_k(score, fixed)
+        fx_valid = fx_score > 0
+        ids = jnp.concatenate([ids_w, fx_ids.astype(ids_w.dtype)])
+        valid = jnp.concatenate([valid_w, fx_valid])
+        opt_cam = jnp.concatenate(
+            [valid_w & (ids_w != oldest), jnp.zeros((fixed,), bool)]
+        )
+    else:
+        ids, valid = ids_w, valid_w
+        opt_cam = valid_w & (ids_w != oldest)
+
+    ids_safe = jnp.where(valid, ids, 0)
+    refs = st.kf_mp[ids_safe]  # (C, N)
+    obs_pt = jnp.where(refs >= 0, inv[jnp.clip(refs, 0, M - 1)], -1)
 
     prob = BAProblem(
-        q=st.kf_q[ids],
-        p=st.kf_p[ids],
+        q=st.kf_q[ids_safe],
+        p=st.kf_p[ids_safe],
         opt_cam=opt_cam,
         cam_valid=valid,
         Xw=st.mp_pos[pt_ids],
         pt_valid=pt_valid,
-        obs_uv=st.kf_uv[ids],
-        obs_ur=st.kf_ur[ids],
-        obs_oct=st.kf_octave[ids],
+        obs_uv=st.kf_uv[ids_safe],
+        obs_ur=st.kf_ur[ids_safe],
+        obs_oct=st.kf_octave[ids_safe],
         obs_pt=obs_pt,
     )
     return prob, ids, valid, pt_ids, pt_valid
@@ -73,9 +113,10 @@ def apply_ba_results(st: MapState, ids, kf_valid, q, p, pt_ids, pt_valid, Xw):
 
 
 def local_ba_step(st: MapState, cam: Camera, kf_id, window: int = 8,
-                  max_points: int = 2048, iters: int = 8):
+                  max_points: int = 2048, iters: int = 8, fixed: int = 8):
     """One local BA pass around kf_id; returns updated MapState."""
-    prob, ids, valid, pt_ids, pt_valid = build_ba_problem(st, kf_id, window, max_points)
+    prob, ids, valid, pt_ids, pt_valid = build_ba_problem(
+        st, kf_id, window, max_points, fixed)
     res = solve_local_ba(prob, cam, iters=iters)
     kf_q, kf_p, mp_pos = apply_ba_results(
         st, ids, valid & prob.opt_cam, res.q, res.p, pt_ids, pt_valid, res.Xw
@@ -83,16 +124,25 @@ def local_ba_step(st: MapState, cam: Camera, kf_id, window: int = 8,
     return st._replace(kf_q=kf_q, kf_p=kf_p, mp_pos=mp_pos), res
 
 
-@partial(jax.jit, static_argnames=("window", "max_points"))
-def build_vi_ba_problem(st: MapState, kf_id, window: int, max_points: int, gravity_w):
+@partial(jax.jit, static_argnames=("window", "max_points", "fixed"))
+def build_vi_ba_problem(st: MapState, kf_id, window: int, max_points: int,
+                        gravity_w, fixed: int = 0):
     """Gather the temporal-window VI-BA problem ending at kf_id.
 
     Window = walk the kf_prev chain (reference: local_inertial_ba.rs:109-139
-    uses 10 temporal keyframes with the oldest as fixed anchor).
+    uses 10 temporal keyframes with the oldest as fixed anchor). `fixed`
+    appends out-of-window observer keyframes with opt_cam=False and no IMU
+    edge (reference: collect_fixed_keyframes, local_inertial_ba.rs:244-263).
+    Default 0: the IMU edges + gravity already pin the temporal window's
+    gauge (inertial eval ATE 0.013 without them), and VI-BA is the
+    dominant per-keyframe device cost — the (15C)^2 reduced system grows
+    quadratically with the slot count. Enable via SlamConfig.vi_ba_fixed
+    when visual anchoring matters more than throughput.
     """
     from orbslam3_tpu.optim.vi_ba import VIBAProblem
 
     K = st.kf_valid.shape[0]
+    fixed = min(fixed, K)  # static: tiny test maps may hold < `fixed` KFs
 
     def walk(carry, _):
         cur = carry
@@ -100,28 +150,59 @@ def build_vi_ba_problem(st: MapState, kf_id, window: int, max_points: int, gravi
         return nxt, cur
 
     _, ids_new_first = jax.lax.scan(walk, kf_id, None, length=window)
-    ids = ids_new_first[::-1]  # oldest..newest
-    valid = ids >= 0
-    ids_safe = jnp.where(valid, ids, 0)
+    ids_w = ids_new_first[::-1]  # oldest..newest
+    valid_w = ids_w >= 0
+    ids_w_safe = jnp.where(valid_w, ids_w, 0)
 
-    pt_ids, pt_valid = mp_slots_for_kfs(st, ids_safe, valid, max_points)
+    pt_ids, pt_valid = mp_slots_for_kfs(st, ids_w_safe, valid_w, max_points)
     M = st.mp_pos.shape[0]
     P = max_points
+    # invalid slots route OUT of bounds and drop: scattering them to row 0
+    # would race a real slot mapping for map-point 0 (duplicate-index
+    # scatter order is unspecified — same bug class as the vocab.py
+    # duplicate-scatter ADVICE finding)
     inv = jnp.full((M,), -1, jnp.int32)
-    inv = inv.at[jnp.where(pt_valid, pt_ids, 0)].set(
-        jnp.where(pt_valid, jnp.arange(P, dtype=jnp.int32), -1)
+    inv = inv.at[jnp.where(pt_valid, pt_ids, M)].set(
+        jnp.arange(P, dtype=jnp.int32), mode="drop"
     )
+
+    # oldest valid is the anchor
+    first_valid = jnp.argmax(valid_w)  # first True in oldest..newest order
+    opt_w = valid_w & (jnp.arange(window) != first_valid)
+
+    if fixed > 0:
+        covis_sum = jnp.sum(
+            jnp.where(valid_w[:, None], st.covis[ids_w_safe], 0), axis=0
+        )
+        in_window = (
+            jnp.zeros((K,), bool)
+            .at[jnp.where(valid_w, ids_w, K)]
+            .set(True, mode="drop")
+        )
+        score = jnp.where(
+            st.kf_valid & ~in_window
+            & (st.kf_map_id == st.kf_map_id[kf_id]),
+            covis_sum, 0,
+        )
+        fx_score, fx_ids = jax.lax.top_k(score, fixed)
+        fx_valid = fx_score > 0
+        ids = jnp.concatenate([ids_w, fx_ids.astype(ids_w.dtype)])
+        valid = jnp.concatenate([valid_w, fx_valid])
+        opt_cam = jnp.concatenate([opt_w, jnp.zeros((fixed,), bool)])
+    else:
+        ids, valid, opt_cam = ids_w, valid_w, opt_w
+    ids_safe = jnp.where(valid, ids, 0)
+
     refs = st.kf_mp[ids_safe]
     obs_pt = jnp.where(refs >= 0, inv[jnp.clip(refs, 0, M - 1)], -1)
 
-    # oldest valid is the anchor
-    first_valid = jnp.argmax(valid)  # first True in oldest..newest order
-    opt_cam = valid & (jnp.arange(window) != first_valid)
-
     # IMU edge for slot i connects ids[i-1] -> ids[i]; stored preint on
-    # ids[i] is exactly that when the chain is unbroken
+    # ids[i] is exactly that when the chain is unbroken. Fixed observer
+    # slots never carry IMU edges.
     chain_ok = jnp.concatenate(
-        [jnp.zeros(1, bool), st.kf_prev[ids_safe[1:]] == ids[:-1]]
+        [jnp.zeros(1, bool),
+         st.kf_prev[ids_w_safe[1:]] == ids_w[:-1],
+         jnp.zeros((fixed,), bool) if fixed > 0 else jnp.zeros((0,), bool)]
     )
     preints = jax.tree.map(lambda a: a[ids_safe], st.kf_preint)
     imu_edge_valid = valid & chain_ok & (preints.dt > 1e-4)

@@ -64,6 +64,18 @@ class SlamConfig(NamedTuple):
     # local mapping
     ba_window: int = 8
     ba_points: int = 2048
+    # fixed observer keyframes included in visual local BA (opt_cam=False,
+    # reference: collect_fixed_keyframes) — they pin the local points'
+    # gauge; 0 disables. Swept on the 8 s stereo-only eval: 8 -> ATE
+    # 0.012/0.014/0.103 across seeds, 16 -> 0.011/0.013/0.021 (runs only
+    # pre-IMU-init or in visual-only mode, so the flagship VI path pays
+    # nothing for the larger default)
+    ba_fixed: int = 16
+    # fixed observers in the inertial window BA (reference has them too —
+    # local_inertial_ba.rs:244-263). Default 0: IMU edges already pin the
+    # temporal window's gauge and the (15C)^2 reduced system is the
+    # dominant per-keyframe cost
+    vi_ba_fixed: int = 0
     # 4 LM iterations measured ATE-equivalent to 8 on the noisy-IMU eval
     # (0.0130 vs 0.0136): the window re-solves every keyframe from a warm
     # start, so late iterations buy nothing. ~4 ms/iteration on TPU.
@@ -350,7 +362,8 @@ class SlamSystem:
         if int(self.map.n_kf) >= 3:
             self.map, _ = local_ba_step(
                 self.map, self.cam, jnp.int32(kf_id),
-                window=cfg.ba_window, max_points=cfg.ba_points, iters=cfg.ba_iters,
+                window=cfg.ba_window, max_points=cfg.ba_points,
+                iters=cfg.ba_iters, fixed=cfg.ba_fixed,
             )
             # adopt the refined keyframe pose as the current estimate
             self.q = self.map.kf_q[kf_id]

@@ -94,13 +94,24 @@ def main():
     ap.add_argument("--duration", type=float, default=8.0)
     ap.add_argument("--modes", default="stereo,inertial,loop,extrinsics,revisit,revisit_loop")
     ap.add_argument("--no-write", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (ATE/RPE valid, fps is NOT "
+                    "the TPU number). Needed when the axon tunnel is down: "
+                    "the plugin hangs during backend init even under "
+                    "JAX_PLATFORMS=cpu, so pop the var AND set the config "
+                    "(same recipe as tests/conftest.py)")
     args = ap.parse_args()
 
+    if args.cpu:
+        os.environ.pop("JAX_PLATFORMS", None)
     os.makedirs("/root/repo/.jax_cache", exist_ok=True)
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     seeds = [int(s) for s in args.seeds.split(",")]
     modes = args.modes.split(",")

@@ -138,3 +138,94 @@ class TestLocalBA:
         # corrupted edges classified as outliers
         inl = np.asarray(res.inlier_edges)
         assert inl[mask & (obs_pt >= 0)].mean() < 0.3
+
+
+def test_build_ba_problem_includes_fixed_observers():
+    """The gathered problem must append out-of-window observer keyframes
+    with opt_cam=False whose observations of window points become edges
+    (reference: collect_fixed_keyframes, local_ba_lm.rs:355-391). Without
+    them the local cloud's only gauge tie is the anchor keyframe and the
+    window can rotate slightly every solve — measured as smooth
+    visual-only drift."""
+    from orbslam3_tpu.imu.preintegration import PreintState
+    from orbslam3_tpu.map.slam_map import MapCapacity, empty_map, insert_keyframe
+    from orbslam3_tpu.models.local_mapper import build_ba_problem
+
+    rng = np.random.default_rng(2)
+    cap = MapCapacity(max_kf=16, n_feat=64, max_mp=512, max_obs=8)
+    st = empty_map(cap)
+    L = 48
+    lm = np.stack(
+        [rng.uniform(-3, 3, L), rng.uniform(-2, 2, L), np.full(L, 6.0)], -1
+    ).astype(np.float32)
+    desc = rng.integers(0, 256, (L, 32)).astype(np.uint8)
+
+    def make_kf(p, matched, t):
+        xc = lm - p
+        z = xc[:, 2]
+        uv = np.stack([240 * xc[:, 0] / z + 192, 240 * xc[:, 1] / z + 128], -1)
+        n = cap.n_feat
+        mm = np.full(n, -1, np.int32)
+        if matched is not None:
+            mm[:L] = matched
+        return dict(
+            time=jnp.float32(t), q_wb=quat.identity(), p_w=jnp.asarray(p),
+            vel=jnp.zeros(3), bias_g=jnp.zeros(3), bias_a=jnp.zeros(3),
+            uv=jnp.zeros((n, 2)).at[:L].set(jnp.asarray(uv.astype(np.float32))),
+            u_right=jnp.full((n,), -1.0),
+            depth=jnp.full((n,), -1.0).at[:L].set(jnp.asarray(z)),
+            octave=jnp.zeros((n,), jnp.int32),
+            desc=jnp.zeros((n, 32), jnp.uint8).at[:L].set(jnp.asarray(desc)),
+            points_body=jnp.zeros((n, 3)).at[:L].set(jnp.asarray(xc)),
+            feat_valid=jnp.zeros((n,), bool).at[:L].set(True),
+            matched_mp=jnp.asarray(mm),
+            preint=PreintState.identity(),
+        )
+
+    ids = np.arange(L, dtype=np.int32)
+    # 8 keyframes all observing the same wall; window=4 covers the newest
+    # 4, so keyframes 0..3 are candidate fixed observers
+    st, kid = insert_keyframe(st, **make_kf(np.zeros(3, np.float32), None, 0.0),
+                              prev_kf=-1, new_mp_budget=64)
+    for k in range(1, 8):
+        st, kid = insert_keyframe(
+            st, **make_kf(np.array([0.1 * k, 0, 0], np.float32), ids, 0.4 * k),
+            prev_kf=kid, new_mp_budget=0,
+        )
+    prob, p_ids, valid, pt_ids, pt_valid = build_ba_problem(
+        st, jnp.int32(7), window=4, max_points=128, fixed=4
+    )
+    ids_np = np.asarray(p_ids)
+    valid_np = np.asarray(valid)
+    opt_np = np.asarray(prob.opt_cam)
+    assert len(ids_np) == 8  # window + fixed slots
+    # the fixed tail holds valid out-of-window keyframes, never optimized
+    fixed_rows = ids_np[4:][valid_np[4:]]
+    assert len(fixed_rows) >= 3, ids_np
+    assert not opt_np[4:].any()
+    assert set(fixed_rows.tolist()).isdisjoint(set(ids_np[:4].tolist()))
+    # their observations of window points became real edges
+    obs_pt = np.asarray(prob.obs_pt)[4:][valid_np[4:]]
+    assert (obs_pt >= 0).sum() >= L, (obs_pt >= 0).sum()
+
+    # the inertial-window builder supports the same fixed-observer tail
+    # (reference: local_inertial_ba.rs:244-263) — off by default
+    # (SlamConfig.vi_ba_fixed=0) but the plumbed path must hold the same
+    # invariants: valid out-of-window observers, opt_cam=False, real
+    # edges, and NO IMU edge on any fixed slot
+    from orbslam3_tpu.models.local_mapper import build_vi_ba_problem
+
+    vprob, v_ids, v_valid, _, _ = build_vi_ba_problem(
+        st, jnp.int32(7), window=4, max_points=128,
+        gravity_w=jnp.asarray([0.0, 0.0, -9.81]), fixed=4,
+    )
+    v_ids = np.asarray(v_ids)
+    v_val = np.asarray(v_valid)
+    assert len(v_ids) == 8
+    v_fixed = v_ids[4:][v_val[4:]]
+    assert len(v_fixed) >= 3, v_ids
+    assert not np.asarray(vprob.opt_cam)[4:].any()
+    assert set(v_fixed.tolist()).isdisjoint(set(v_ids[:4].tolist()))
+    assert not np.asarray(vprob.imu_edge_valid)[4:].any()
+    v_obs = np.asarray(vprob.obs_pt)[4:][v_val[4:]]
+    assert (v_obs >= 0).sum() >= L
