@@ -604,6 +604,10 @@ class FusedSlam:
         self._imu_phase = 0  # 0 uninit, 1 init, 2 refined@5s, 3 refined@15s
         # async n_kf snapshot for one-round-delayed keyframe services
         self._nkf_inflight = None
+        # async n_mp snapshot + frame stamp: tightens _kf_ub/_mp_ub each
+        # service round without a sync (see _host_services)
+        self._nmp_inflight = None
+        self._snap_inflight_frame = 0
         # pipelined atlas-size snapshot (same pattern): tells the loop
         # closer whether archived maps exist, so young single-map
         # keyframes can skip the exhaustive detection pass
@@ -772,6 +776,7 @@ class FusedSlam:
             self.compactions += 1
             # the in-flight n_kf snapshot indexes pre-compaction rows
             self._nkf_inflight = None
+            self._nmp_inflight = None
         # resync bounds to the true (possibly just-compacted) counts
         self._kf_ub = int(self.map.n_kf)
         self._mp_ub = int(self.map.n_mp)
@@ -806,13 +811,16 @@ class FusedSlam:
             self._host_services(final=True)
         self._drain_loop_closer()
 
-    def _drain_loop_closer(self):
-        """Act on the loop closer's in-flight detection packet."""
+    def _drain_loop_closer(self, sync: bool = True):
+        """Act on the loop closer's in-flight detection packet and
+        verification. sync=False (idle service rounds) keeps a verify
+        dispatched by the drained packet in flight instead of blocking."""
         if self.loop_closer is None or self.loop_closer.pending_kf is None:
             return
         pk = self.loop_closer.pending_kf
         q_old, p_old = self.map.kf_q[pk], self.map.kf_p[pk]
-        self.map, corrected = self.loop_closer.drain(self.map, self.cam)
+        self.map, corrected = self.loop_closer.drain(self.map, self.cam,
+                                                     sync=sync)
         if corrected:
             self.ts = _retarget_tracker(
                 self.ts, q_old, p_old,
@@ -838,10 +846,14 @@ class FusedSlam:
         # DONATED into the next slam_step, which would delete the raw
         # n_kf handle before next round reads it
         snap, self._nkf_inflight = self._nkf_inflight, self.map.n_kf + jnp.int32(0)
+        snap_mp, self._nmp_inflight = self._nmp_inflight, self.map.n_mp + jnp.int32(0)
         snap_mm, self._mapid_inflight = (
             self._mapid_inflight, self.map.next_map_id + jnp.int32(0))
+        snap_frame, self._snap_inflight_frame = (
+            self._snap_inflight_frame, self._frames)
         try:
             self._nkf_inflight.copy_to_host_async()
+            self._nmp_inflight.copy_to_host_async()
             self._mapid_inflight.copy_to_host_async()
         except AttributeError:
             pass
@@ -849,6 +861,20 @@ class FusedSlam:
             n_kf = int(self.map.n_kf)
         else:
             n_kf = int(snap)
+        if snap is not None and snap_mp is not None:
+            # tighten the host-side row upper bounds from the (one-round-
+            # stale) async snapshot: without this, once the worst-case
+            # bounds cross the compaction margin they STAY crossed and
+            # every service round pays a blocking `int(n_kf)` sync inside
+            # _maybe_compact (measured 3.7 s of a 34.7 s revisit run). A
+            # frame can add at most 1 KF and new_mp_budget+128 points, so
+            # snapshot + lag*worst_case is still a true upper bound.
+            lag = self._frames - snap_frame
+            self._kf_ub = min(self._kf_ub, int(snap) + lag)
+            self._mp_ub = min(
+                self._mp_ub,
+                int(snap_mp) + lag * (cfg.new_mp_budget + 128),
+            )
         if snap_mm is not None:
             # sticky: once archived maps exist, detection stays full-scope
             self._multi_map = self._multi_map or int(snap_mm) > 1
@@ -896,8 +922,9 @@ class FusedSlam:
                     )
             self._n_kf_seen += 1
         if not new_kfs:
-            # idle round: act on the in-flight detection packet
-            self._drain_loop_closer()
+            # idle round: act on the in-flight detection packet (leave any
+            # freshly-dispatched verify in flight for the next round)
+            self._drain_loop_closer(sync=False)
         t0 = self._tic()
         self._maybe_compact()
         self._toc("compaction", t0)

@@ -53,9 +53,12 @@ def run_config(seed, duration, mode):
             imu.append(world.imu_window(t_prev, t))
 
     use_imu = mode != "stereo"
+    # the ONE production config, identical to bench.py's (sweep winner,
+    # scripts/sweep_perf.py r3) — identical cfg => identical fused program
+    # => the persistent compile cache is shared with bench runs
     slam_cfg = SlamConfig(
-        use_imu=use_imu, kf_max_frames=4,
-        lost_timeout=5.0 if mode in ("revisit", "revisit_loop") else 1.0,
+        use_imu=use_imu, kf_max_frames=6, ba_iters=3, ba_window=6,
+        lost_timeout=5.0,
     )
     vocab = None
     if mode in ("loop", "revisit_loop"):

@@ -222,6 +222,8 @@ def test_loop_closure_end_to_end():
     for k in range(int(st.n_kf)):
         st, c = closer.on_keyframe(st, k, CAM)
         corrected = corrected or c
+    st, c = closer.drain(st, CAM)  # resolve in-flight packet + verify
+    corrected = corrected or c
     assert closer.stats.candidates_checked > 0, "no loop candidates found"
     assert corrected, f"loop never corrected: {closer.stats}"
     # body-frame velocity invariant under the pose-graph correction
@@ -309,6 +311,8 @@ def test_cross_map_merge():
     for k in range(int(st.n_kf)):
         st, c = closer.on_keyframe(st, k, CAM)
         merged = merged or c
+    st, c = closer.drain(st, CAM)  # resolve in-flight packet + verify
+    merged = merged or c
 
     assert merged, closer.stats
     # everything back in one map
@@ -407,6 +411,7 @@ def test_loop_edges_accumulate_and_remap():
                                         covis_edge_weight_min=10))
     for k in range(int(st.n_kf)):
         st, _ = closer.on_keyframe(st, k, CAM)
+    st, _ = closer.drain(st, CAM)  # resolve in-flight packet + verify
     assert closer.stats.corrected >= 1
     assert len(closer._loop_edges) == closer.stats.corrected
     i0, j0 = closer._loop_edges[0][:2]
@@ -499,3 +504,24 @@ def test_bow_min_score_gate():
     closer3._pending = (8, *fake_packet(bow_score=0.2, min_covis=0.5))
     st, c = closer3.drain(st, CAM)
     assert closer3.stats.candidates_checked == 1
+
+
+@pytest.mark.slow
+def test_warmup_compiles_all_programs():
+    """LoopCloser.warmup must drive every device program with the CURRENT
+    signatures (BoW-only, every detection row bucket, verify, correction).
+    Regression: a signature change to _bow_program slipped past the suite
+    because only FusedSlam(warmup=True) — never the tests — called it."""
+    st, lm_desc, *_ = build_revisit_map()
+    corpus = np.concatenate(
+        [lm_desc, RNG.integers(0, 256, (2000, 32)).astype(np.uint8)]
+    )
+    voc = vb.train_vocabulary(corpus, k=6, levels=3)
+    closer = LoopCloser(voc, LoopConfig(recent_gap=4))
+    closer.warmup(st, CAM)
+    # warmup must leave no pending work and an intact (device-resident)
+    # BoW table usable by a subsequent real keyframe service
+    assert closer.pending_kf is None
+    st2, c = closer.on_keyframe(st, 0, CAM)
+    assert not c
+    assert int(jnp.sum(closer.bow_ids[0] >= 0)) > 0
