@@ -39,7 +39,7 @@ def build_world(duration: float):
     return world, times, frames, imu
 
 
-def run_pipeline(world, times, frames, imu, slam_cfg, vocab=None, chunk=4,
+def run_pipeline(world, times, frames, imu, slam_cfg, vocab=None, chunk=8,
                  timed_from=8):
     """Run the full sequence; returns (slam, fps, elapsed)."""
     import jax

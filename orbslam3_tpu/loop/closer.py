@@ -442,8 +442,8 @@ class LoopCloser:
         """Newest keyframe row with in-flight work (detection packet or
         verification), or None when nothing is pending. FusedSlam snapshots
         this row's pose around drain() to measure the correction delta."""
-        rows = [p[0] for p in (self._pending, self._verify_pending)
-                if p is not None]
+        rows = [p[0] for p in (self._pending,) if p is not None]
+        rows += [p[1] for p in (self._verify_pending,) if p is not None]
         return max(rows) if rows else None
 
     def warmup(self, st: MapState, cam: Camera):
@@ -484,7 +484,7 @@ class LoopCloser:
         jax.block_until_ready(st2.kf_q)
 
     def on_keyframe(self, st: MapState, kf_id: int, cam: Camera,
-                    multi_map: bool = True):
+                    multi_map: bool = True, round_id: int = -1):
         """Launch detection for this keyframe and act on the PREVIOUS
         keyframe's (already-transferred) detection packet.
 
@@ -496,8 +496,13 @@ class LoopCloser:
         Returns (MapState, corrected: bool)."""
         self._ensure_storage(st)
         # resolve last round's in-flight verification first (its counts
-        # have been crossing the tunnel while tracking ran)
-        st, corrected0 = self._apply_verify(st, cam)
+        # have been crossing the tunnel while tracking ran). round_id: a
+        # verify dispatched for an EARLIER keyframe of this same service
+        # round is left in flight — blocking on it mid-round stalls the
+        # host before the next tracking chunk dispatch and bubbles the
+        # device pipeline (measured: 30 -> 16 fps on the revisit world at
+        # 2 keyframes/round)
+        st, corrected0 = self._apply_verify(st, cam, round_id=round_id)
         if not multi_map and kf_id < self.cfg.recent_gap:
             self.bow_ids, self.bow_w = self._bow_program(
                 self.bow_ids, self.bow_w,
@@ -506,7 +511,8 @@ class LoopCloser:
             prev, self._pending = self._pending, None
             if prev is None:
                 return st, corrected0
-            st, c1 = self._process_packet(st, *prev, cam)
+            st, c1 = self._process_packet(st, *prev, cam,
+                                          round_id=round_id)
             return st, corrected0 or c1
         # slice the row space to the live prefix (see ROW_BUCKET) — a
         # STATIC slice inside the program; one dispatch, no host-side views
@@ -529,7 +535,7 @@ class LoopCloser:
         prev, self._pending = self._pending, (kf_id, packet, group)
         if prev is None:
             return st, corrected0
-        st, c1 = self._process_packet(st, *prev, cam)
+        st, c1 = self._process_packet(st, *prev, cam, round_id=round_id)
         return st, corrected0 or c1
 
     def drain(self, st: MapState, cam: Camera, sync: bool = True):
@@ -547,7 +553,8 @@ class LoopCloser:
         return st, c0 or c1
 
     def _process_packet(self, st: MapState, kf_id: int, packet, group,
-                        cam: Camera, sync: bool = False):
+                        cam: Camera, sync: bool = False,
+                        round_id: int = -1):
         cfg = self.cfg
         if kf_id - self.last_loop_kf < cfg.recent_gap:
             return st, False
@@ -589,16 +596,18 @@ class LoopCloser:
         if not to_try:
             return st, False
         # dispatch the geometric verification but DO NOT block on it: the
-        # counts are read at the next loop service (_apply_verify). At
-        # most one verify rides in flight; a packet arriving while one is
-        # pending would be a same-round double (cannot happen: every
-        # on_keyframe/drain applies the pending verify before processing
-        # a packet).
+        # counts are read at the next loop service (_apply_verify). One
+        # verify slot: if an earlier keyframe of this same round still has
+        # one in flight, skip this dispatch — on a continuous revisit the
+        # same candidate region re-detects at the very next keyframe.
+        if self._verify_pending is not None:
+            return st, False
         self._verify_pending = (
-            kf_id, to_try, *self._dispatch_verify(st, kf_id, to_try, cam)
+            round_id, kf_id, to_try,
+            *self._dispatch_verify(st, kf_id, to_try, cam),
         )
         if sync:
-            return self._apply_verify(st, cam)
+            return self._apply_verify(st, cam, sync=True)
         return st, False
 
     def _dispatch_verify(self, st: MapState, kf_id: int, cands: list,
@@ -627,12 +636,18 @@ class LoopCloser:
             pass
         return nm, ninl, nrp, S
 
-    def _apply_verify(self, st: MapState, cam: Camera):
+    def _apply_verify(self, st: MapState, cam: Camera, round_id: int = -1,
+                      sync: bool = False):
         """Act on the in-flight verification: gate the counts and, on a
-        pass, run the correction chain. Returns (MapState, corrected)."""
+        pass, run the correction chain. Returns (MapState, corrected).
+        A verify dispatched in the CURRENT service round (same round_id)
+        is left in flight unless sync — see on_keyframe."""
         if self._verify_pending is None:
             return st, False
-        (kf_id, cands, nm, ninl, nrp, S), self._verify_pending = (
+        if (not sync and round_id >= 0
+                and self._verify_pending[0] == round_id):
+            return st, False
+        (_, kf_id, cands, nm, ninl, nrp, S), self._verify_pending = (
             self._verify_pending, None)
         cfg = self.cfg
         if kf_id - self.last_loop_kf < cfg.recent_gap:

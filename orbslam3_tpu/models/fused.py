@@ -608,6 +608,10 @@ class FusedSlam:
         # service round without a sync (see _host_services)
         self._nmp_inflight = None
         self._snap_inflight_frame = 0
+        # service-round counter: tags loop-verify dispatches so a verify
+        # launched for an earlier keyframe of the SAME round is not
+        # blocked on mid-round (loop/closer.py::_apply_verify)
+        self._service_round = 0
         # pipelined atlas-size snapshot (same pattern): tells the loop
         # closer whether archived maps exist, so young single-map
         # keyframes can skip the exhaustive detection pass
@@ -842,6 +846,7 @@ class FusedSlam:
         round — the detection packet itself is already pipelined the same
         way. `final=True` (finalize) reads synchronously and drains."""
         cfg = self.cfg
+        self._service_round += 1
         # `+ 0` copies the scalar into a buffer of its own: self.map is
         # DONATED into the next slam_step, which would delete the raw
         # n_kf handle before next round reads it
@@ -911,7 +916,8 @@ class FusedSlam:
                 q_old, p_old = self.map.kf_q[k], self.map.kf_p[k]
                 t0 = self._tic()
                 self.map, corrected = self.loop_closer.on_keyframe(
-                    self.map, k, self.cam, multi_map=self._multi_map
+                    self.map, k, self.cam, multi_map=self._multi_map,
+                    round_id=self._service_round,
                 )
                 self._toc("loop_correct" if corrected else "loop_service", t0)
                 if corrected:
