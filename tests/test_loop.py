@@ -525,3 +525,37 @@ def test_warmup_compiles_all_programs():
     st2, c = closer.on_keyframe(st, 0, CAM)
     assert not c
     assert int(jnp.sum(closer.bow_ids[0] >= 0)) > 0
+
+
+@pytest.mark.slow
+def test_verify_round_tag_defers_same_round():
+    """A verify dispatched during service round R must stay in flight when
+    _apply_verify runs later in the SAME round (blocking mid-round bubbles
+    the device pipeline — measured 30 -> 16 fps on the revisit bench), and
+    must resolve in round R+1 or at a sync drain."""
+    st, lm_desc, poses1, poses2 = build_revisit_map()
+    corpus = np.concatenate(
+        [lm_desc, RNG.integers(0, 256, (2000, 32)).astype(np.uint8)]
+    )
+    voc = vb.train_vocabulary(corpus, k=6, levels=3)
+    closer = LoopCloser(voc, LoopConfig(recent_gap=4, consistency_needed=2,
+                                        covis_edge_weight_min=10))
+    corrected_round = None
+    n_kf = int(st.n_kf)
+    for k in range(n_kf):
+        # one keyframe per round here; tag rounds so deferral is active
+        st, c = closer.on_keyframe(st, k, CAM, round_id=k)
+        if c:
+            corrected_round = k
+        if closer._verify_pending is not None:
+            # dispatched this round -> applying with the SAME round id
+            # must be a no-op that keeps it pending
+            st2, c2 = closer._apply_verify(st, CAM,
+                                           round_id=closer._verify_pending[0])
+            assert not c2 and closer._verify_pending is not None
+            st = st2
+    st, c = closer.drain(st, CAM)
+    assert closer.stats.corrected >= 1, closer.stats
+    # the correction must never have landed in the round that dispatched it
+    if corrected_round is not None:
+        assert corrected_round > 0
