@@ -76,6 +76,13 @@ def main():
     run()  # warmup pass (compiles)
     total = sum(len(s[0]) for s in streams)
     fleet2 = MultiSessionSlam(cam, cfg, n_sessions=D, chunk=4)
+    # reuse the WARMED jitted step: make_multi_session_step returns a fresh
+    # jax.jit whose cache is empty, so a fresh instance would recompile the
+    # whole mesh program inside the timed window (measured: 85 s first
+    # dispatch vs 1.3 s warmed — the timed number was compile time, not
+    # throughput; ADVICE r3). mesh/cam/cfg are identical, so the executable
+    # is directly reusable.
+    fleet2._step = fleet._step
     fleet = fleet2
     t0 = time.perf_counter()
     run()
