@@ -23,10 +23,27 @@ import time
 import numpy as np
 
 
+# The ADVERSARIAL world (VERDICT r3 missing #1): ray-traced textured walls
+# whose speckle repeats every 2.4 m (descriptor aliasing like real
+# repetitive structure), plus exposure drift, Gaussian + salt/pepper
+# noise, and 20 ms motion blur. The official numbers are measured HERE;
+# the old fiducial world (every landmark a purpose-built distinctive ORB
+# corner) survives only as the unit-test fixture and the easy-world
+# reference row in eval_suite.
+HARD_WORLD = dict(
+    texture="textured",
+    exposure_drift=0.3,
+    image_noise_std=3.0,
+    salt_pepper_frac=0.002,
+    motion_blur_samples=3,
+    exposure_time=0.02,
+)
+
+
 def build_world(duration: float):
     from orbslam3_tpu.io.synthetic import SyntheticConfig, SyntheticWorld
 
-    cfg = SyntheticConfig(duration=duration, n_landmarks=1500)
+    cfg = SyntheticConfig(duration=duration, n_landmarks=1500, **HARD_WORLD)
     world = SyntheticWorld(cfg)
     times = world.frame_times()
     frames = [
@@ -89,6 +106,7 @@ def build_revisit_world(duration: float = 24.0, seed: int = 7,
         bias_step_t=blackout[0],
         gyro_bias_step=(0.004, 0.003, -0.005),
         accel_bias_step=(0.15, -0.10, 0.10),
+        **HARD_WORLD,
     )
     world = SyntheticWorld(cfg)
     times = world.frame_times()

@@ -113,6 +113,25 @@ class SyntheticConfig(NamedTuple):
     # path: IMU samples stay body-frame, cameras render at T_wb ∘ T_BC.
     q_bc: tuple = (1.0, 0.0, 0.0, 0.0)
     p_bc: tuple = (0.0, 0.0, 0.0)
+    # ---- adversarial rendering (VERDICT r3 missing #1: the fiducial world
+    # purpose-builds every landmark as a strong DISTINCTIVE ORB feature;
+    # real frames have repetitive texture, blur, exposure drift, and
+    # descriptor aliasing). texture="textured" replaces the fiducial
+    # splats with a ray-traced box room whose walls carry world-anchored
+    # procedural texture: multi-octave shading, a 0.5 m checker tile
+    # grid, and two sharp speckle scales that REPEAT with a 2.4 m period
+    # — any 2.4 m-shifted patch is pixel-identical, so descriptors alias
+    # across the room the way repeated office/warehouse structure does.
+    # Ground truth stays analytic (the trajectory; landmarks are not GT).
+    texture: str = "fiducial"  # "fiducial" | "textured"
+    # photometric stress (applied in render_frame, either texture mode):
+    exposure_drift: float = 0.0  # gain = 2^(drift*sin(2pi*0.07 t)); 0 off
+    image_noise_std: float = 0.0  # Gaussian sigma on the 0..255 scale
+    salt_pepper_frac: float = 0.0  # fraction of pixels forced to 0/255
+    # motion blur: average n samples over the exposure window (s). At
+    # fx=458 and 0.4 rad/s pan, 20 ms exposure smears ~3.7 px.
+    motion_blur_samples: int = 1
+    exposure_time: float = 0.0
 
 
 def euroc_t_bc():
@@ -265,18 +284,163 @@ class SyntheticWorld:
         return np.concatenate(pts).astype(np.float32)
 
     # ---------------- rendering ----------------
+    def _cam_poses(self, t: float):
+        """Left/right camera poses at time t (T_wb ∘ T_BC, then baseline)."""
+        q, p = self.gt_pose(t)
+        qc = _qnorm(_qmul(q.astype(np.float64), self._q_bc))
+        pc = p.astype(np.float64) + _qrot(q.astype(np.float64), self._p_bc)
+        p_r = pc + _qrot(qc, np.array([self.cfg.baseline, 0.0, 0.0]))
+        return (qc.astype(np.float32), pc.astype(np.float32),
+                p_r.astype(np.float32))
+
     def render_frame(self, t: float):
         """Render the stereo pair at time t -> (left, right) (H, W) f32.
 
         Cameras sit at T_wb ∘ T_BC (left) and a baseline offset along the
-        camera x-axis (right); gt_pose/imu_sample stay body-frame."""
-        q, p = self.gt_pose(t)
-        qc = _qnorm(_qmul(q.astype(np.float64), self._q_bc))
-        pc = p.astype(np.float64) + _qrot(q.astype(np.float64), self._p_bc)
-        left = self._render_cam(qc.astype(np.float32), pc.astype(np.float32))
-        p_r = (pc + _qrot(qc, np.array([self.cfg.baseline, 0.0, 0.0]))).astype(np.float32)
-        right = self._render_cam(qc.astype(np.float32), p_r)
-        return left, right
+        camera x-axis (right); gt_pose/imu_sample stay body-frame. In
+        "textured" mode (or with exposure/noise/blur enabled) the frames
+        additionally pass the photometric-stress pipeline."""
+        cfg = self.cfg
+        render = (self._render_cam_textured if cfg.texture == "textured"
+                  else self._render_cam)
+        ns = max(int(cfg.motion_blur_samples), 1)
+        if ns > 1 and cfg.exposure_time > 0:
+            offs = (np.arange(ns) / (ns - 1) - 0.5) * cfg.exposure_time
+        else:
+            offs = np.zeros(1)
+            ns = 1
+        left = right = None
+        for dt_ in offs:
+            qc, pc, p_r = self._cam_poses(max(t + float(dt_), 0.0))
+            li = render(qc, pc)
+            ri = render(qc, p_r)
+            left = li if left is None else left + li
+            right = ri if right is None else right + ri
+        left, right = left / ns, right / ns
+        return self._photometric(left, t, 0), self._photometric(right, t, 1)
+
+    def _photometric(self, img, t: float, side: int):
+        """Exposure drift + Gaussian + salt/pepper noise, deterministic per
+        (seed, frame time, camera side) so re-renders are bit-identical."""
+        cfg = self.cfg
+        if cfg.exposure_drift > 0.0:
+            gain = 2.0 ** (
+                cfg.exposure_drift * np.sin(2 * np.pi * 0.07 * t + 0.9)
+            )
+            img = img * gain
+        if cfg.image_noise_std > 0.0 or cfg.salt_pepper_frac > 0.0:
+            rng = np.random.default_rng(
+                (cfg.seed * 1000003 + int(round(t * 1e4)) * 2 + side)
+                & 0x7FFFFFFF
+            )
+            if cfg.image_noise_std > 0.0:
+                img = img + rng.normal(0.0, cfg.image_noise_std, img.shape)
+            if cfg.salt_pepper_frac > 0.0:
+                u = rng.uniform(0.0, 1.0, img.shape)
+                f = cfg.salt_pepper_frac
+                img = np.where(u < 0.5 * f, 0.0, img)
+                img = np.where(u > 1.0 - 0.5 * f, 255.0, img)
+        return np.clip(img, 0.0, 255.0).astype(np.float32)
+
+    # ---------------- textured ray-box renderer ----------------
+    def _pixel_dirs(self):
+        """(H, W, 3) camera-frame ray directions (cached; pinhole)."""
+        if getattr(self, "_dirs_cam", None) is None:
+            cfg = self.cfg
+            h, w = cfg.height, cfg.width
+            yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+            self._dirs_cam = np.stack(
+                [
+                    (xx - w / 2.0) / cfg.fx,
+                    (yy - h / 2.0) / cfg.fy,
+                    np.ones_like(xx),
+                ],
+                -1,
+            )
+        return self._dirs_cam
+
+    @staticmethod
+    def _hash01(face, iu, iv, salt):
+        """Deterministic integer-lattice hash -> [0, 1). World-anchored so
+        texture is viewpoint-consistent (descriptors stable across views)."""
+        h = (
+            iu.astype(np.int64) * 73856093
+            ^ iv.astype(np.int64) * 19349663
+            ^ np.int64((face + salt) * 83492791)
+        )
+        h = (h ^ (h >> 13)) * 1274126177
+        h = h ^ (h >> 16)
+        return (h & 0xFFFF).astype(np.float32) / 65535.0
+
+    # speckle repeats with this period [m]: shifted patches are pixel-
+    # identical, so descriptors alias across the room (repeated structure)
+    _TEX_PERIOD = 2.4
+
+    def _face_tex(self, face: int, u, v):
+        """Procedural wall texture at face-plane coords (u, v) meters."""
+        per = self._TEX_PERIOD
+        val = 0.42 + 0.10 * np.sin(u * 2.1 + face) * np.sin(v * 1.7 + 2.0 * face)
+        tile = (
+            (np.floor(u / 0.5).astype(np.int64)
+             + np.floor(v / 0.5).astype(np.int64)) & 1
+        ).astype(np.float32)
+        val = val + 0.10 * (tile - 0.5)
+        # two sharp speckle scales (FAST corners at multiple pyramid
+        # levels), both periodic in `per` — the aliasing stressor
+        iu5 = np.floor((u % per) / 0.05).astype(np.int64)
+        iv5 = np.floor((v % per) / 0.05).astype(np.int64)
+        val = val + 0.30 * (self._hash01(face, iu5, iv5, 11) - 0.5)
+        iu15 = np.floor((u % per) / 0.15).astype(np.int64)
+        iv15 = np.floor((v % per) / 0.15).astype(np.int64)
+        val = val + 0.18 * (self._hash01(face, iu15, iv15, 23) - 0.5)
+        return np.clip(val, 0.02, 0.98)
+
+    def _render_cam_textured(self, q_wc, p_w):
+        """Ray-trace the textured box room from a camera pose: for each
+        pixel, intersect the ray with the 6 wall planes, take the nearest
+        forward hit inside the face bounds, and sample the procedural
+        texture at the world-anchored hit coordinates."""
+        cfg = self.cfg
+        half = np.asarray(cfg.room_half, np.float32)
+        R = _qmat(q_wc.astype(np.float64)).astype(np.float32)
+        dirs = self._pixel_dirs() @ R.T  # (H, W, 3) world-frame rays
+        p = p_w.astype(np.float32)
+
+        best_s = np.full(dirs.shape[:2], np.inf, np.float32)
+        best_face = np.zeros(dirs.shape[:2], np.int8)
+        eps = 1e-6
+        for face, (axis, sign) in enumerate(
+            [(0, 1), (0, -1), (1, 1), (1, -1), (2, 1), (2, -1)]
+        ):
+            da = dirs[..., axis]
+            s = (sign * half[axis] - p[axis]) / np.where(
+                np.abs(da) < eps, eps, da
+            )
+            o1, o2 = [a for a in range(3) if a != axis]
+            h1 = p[o1] + s * dirs[..., o1]
+            h2 = p[o2] + s * dirs[..., o2]
+            ok = (
+                (s > eps)
+                & (np.abs(h1) <= half[o1] + 1e-3)
+                & (np.abs(h2) <= half[o2] + 1e-3)
+                & (s < best_s)
+            )
+            best_s = np.where(ok, s, best_s)
+            best_face = np.where(ok, np.int8(face), best_face)
+
+        img = np.full(dirs.shape[:2], 0.45, np.float32)
+        for face, (axis, sign) in enumerate(
+            [(0, 1), (0, -1), (1, 1), (1, -1), (2, 1), (2, -1)]
+        ):
+            m = best_face == face
+            if not m.any():
+                continue
+            o1, o2 = [a for a in range(3) if a != axis]
+            s = best_s[m]
+            u = p[o1] + s * dirs[..., o1][m]
+            v = p[o2] + s * dirs[..., o2][m]
+            img[m] = self._face_tex(face, u, v)
+        return img * 255.0
 
     def _render_cam(self, q_wb, p_w):
         cfg = self.cfg
