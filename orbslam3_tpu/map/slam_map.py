@@ -406,6 +406,52 @@ def local_window(st: MapState, kf_id, window: int):
     return ids, valid
 
 
+def local_window_temporal(st: MapState, kf_id, window: int, n_temporal: int):
+    """Like local_window, but the first `n_temporal` neighbor slots are the
+    kf_prev temporal-chain predecessors, the rest covisibility top-k with
+    chain rows masked out (no duplicates).
+
+    Reference: in inertial mode the neighbor set for triangulation/fusion
+    is best-covisible PLUS the temporal chain (triangulation.rs:313-336,
+    search_in_neighbors.rs:19-39) — during fast rotation covisibility
+    collapses toward stale keyframes and the chain is what keeps map
+    growth alive (VERDICT r3 missing #3).
+    """
+    n_temporal = min(n_temporal, window - 1)
+    if n_temporal <= 0:
+        return local_window(st, kf_id, window)
+    K = st.kf_valid.shape[0]
+    same_map = st.kf_map_id == st.kf_map_id[kf_id]
+
+    def walk(c, _):
+        c_ok = c >= 0
+        nxt = jnp.where(c_ok, st.kf_prev[jnp.clip(c, 0, K - 1)], -1)
+        return nxt, nxt
+
+    _, chain = jax.lax.scan(walk, jnp.asarray(kf_id), None, length=n_temporal)
+    chain_safe = jnp.clip(chain, 0, K - 1)
+    chain_ok = (
+        (chain >= 0) & st.kf_valid[chain_safe] & same_map[chain_safe]
+        & (chain != kf_id)
+    )
+    in_chain = jnp.zeros((K,), bool).at[chain_safe].max(chain_ok)
+
+    weights = st.covis[kf_id] * st.kf_valid * same_map
+    weights = weights.at[kf_id].set(0)
+    weights = jnp.where(in_chain, 0, weights)
+    k_eff = max(min(window - 1 - n_temporal, K), 0)
+    w, ids = jax.lax.top_k(weights, k_eff)
+    pad = window - 1 - n_temporal - k_eff
+    if pad:
+        ids = jnp.concatenate([ids, jnp.zeros(pad, ids.dtype)])
+        w = jnp.concatenate([w, jnp.zeros(pad, w.dtype)])
+    ids = jnp.concatenate(
+        [jnp.asarray(kf_id)[None], chain_safe.astype(ids.dtype), ids]
+    )
+    valid = jnp.concatenate([jnp.ones(1, bool), chain_ok, w > 0])
+    return ids, valid
+
+
 def mp_slots_for_kfs(st: MapState, kf_ids, kf_valid, max_points: int):
     """Collect the distinct map points observed by a set of keyframes.
 

@@ -132,3 +132,63 @@ def test_multi_neighbor_beats_single():
     st4, n4 = triangulate_with_neighbor(st, jnp.int32(2), CAM, max_new=64,
                                         n_neighbors=4)
     assert int(n4) > L // 2, f"only {int(n4)} with 4 neighbors"
+
+
+def test_temporal_chain_survives_covis_collapse():
+    """When covisibility weights point at stale far-away keyframes (fast
+    rotation collapses covisibility), the temporal kf_prev chain must keep
+    triangulation alive (reference: triangulation.rs:313-336 adds the
+    temporal chain in inertial mode; VERDICT r3 missing #3)."""
+    st = empty_map(CAP)
+    L = 40
+    lm = np.stack(
+        [RNG.uniform(-2, 2, L), RNG.uniform(-1.5, 1.5, L), RNG.uniform(4, 9, L)], -1
+    ).astype(np.float32)
+    desc = RNG.integers(0, 256, (L, 32)).astype(np.uint8)
+
+    def kf_inputs(q, p_w, see=True):
+        xc = np.asarray(quat.rotate(quat.conj(q)[None], jnp.asarray(lm - p_w)))
+        z = xc[:, 2]
+        uv = np.stack([240 * xc[:, 0] / z + 192, 240 * xc[:, 1] / z + 128], -1)
+        n = CAP.n_feat
+        return dict(
+            time=jnp.float32(0.0), q_wb=q, p_w=jnp.asarray(p_w),
+            vel=jnp.zeros(3), bias_g=jnp.zeros(3), bias_a=jnp.zeros(3),
+            uv=jnp.zeros((n, 2)).at[:L].set(jnp.asarray(uv.astype(np.float32))),
+            u_right=jnp.full((n,), -1.0),
+            depth=jnp.full((n,), -1.0),
+            octave=jnp.zeros((n,), jnp.int32),
+            desc=jnp.zeros((n, 32), jnp.uint8).at[:L].set(jnp.asarray(desc)),
+            points_body=jnp.zeros((n, 3)),
+            feat_valid=jnp.zeros((n,), bool).at[:L].set(True and see),
+            matched_mp=jnp.full((n,), -1, jnp.int32),
+            preint=PreintState.identity(),
+        )
+
+    q0 = quat.identity()
+    # kf0/kf1: stale keyframes looking AWAY (no features of these landmarks)
+    st, _ = insert_keyframe(st, **kf_inputs(q0, np.zeros(3, np.float32), see=False),
+                            prev_kf=jnp.int32(-1), new_mp_budget=0)
+    st, _ = insert_keyframe(st, **kf_inputs(q0, np.zeros(3, np.float32), see=False),
+                            prev_kf=jnp.int32(0), new_mp_budget=0)
+    # kf2: previous keyframe, good baseline, sees the landmarks
+    st, _ = insert_keyframe(st, **kf_inputs(q0, np.array([0.6, 0, 0], np.float32)),
+                            prev_kf=jnp.int32(1), new_mp_budget=0)
+    # kf3: the query
+    st, _ = insert_keyframe(st, **kf_inputs(q0, np.zeros(3, np.float32)),
+                            prev_kf=jnp.int32(2), new_mp_budget=0)
+    # covisibility collapse: kf3's covis edges point ONLY at the stale
+    # keyframes kf0/kf1 (weight 30); kf2 shares no covis weight at all
+    st = st._replace(
+        covis=st.covis.at[3, 0].set(30).at[0, 3].set(30)
+        .at[3, 1].set(20).at[1, 3].set(20)
+    )
+
+    # covis-only neighbor selection never sees kf2 -> nothing triangulates
+    _, n0 = triangulate_with_neighbor(st, jnp.int32(3), CAM, max_new=64,
+                                      n_neighbors=2, n_temporal=0)
+    assert int(n0) == 0, f"covis-only unexpectedly triangulated {int(n0)}"
+    # temporal chain reaches kf2 (the prev keyframe) -> full coverage
+    _, n1 = triangulate_with_neighbor(st, jnp.int32(3), CAM, max_new=64,
+                                      n_neighbors=2, n_temporal=1)
+    assert int(n1) > L // 2, f"only {int(n1)} with temporal chain"
