@@ -292,6 +292,37 @@ def select_cull_candidate(st: MapState, kf_id, thresh, max_gap,
     return jnp.where(jnp.any(cand), best, -1)
 
 
+@partial(jax.jit, static_argnames=("n_protect",))
+def select_pressure_evict_kf(st: MapState, last_kf, n_protect: int = 6):
+    """Keyframe to evict under CAPACITY pressure, or -1.
+
+    Unlike select_cull_candidate there is no redundancy threshold: when
+    the keyframe array is full with ONE active map and nothing crosses
+    the cull threshold, new keyframes (and hence new map points) can
+    never be inserted and tracking starves as the camera moves on (the
+    long-soak collapse). Policy: evict the most-connected non-recent
+    keyframe (max covisibility row sum) — repeated eviction thins the
+    densest-covered regions first, leaving a spatially spread skeleton,
+    the graceful-degradation analog of a sliding window. Protects the
+    root, the tracker's reference keyframe, and the newest n_protect
+    keyframes of the active map. The reference never bounds keyframe
+    count (map.rs:30-41); this is the fixed-capacity price."""
+    K = st.kf_valid.shape[0]
+    idx = jnp.arange(K, dtype=jnp.int32)
+    active = st.kf_valid & (st.kf_map_id == st.active_map)
+    t = jnp.where(active, st.kf_time, -jnp.inf)
+    thresh_t = jax.lax.top_k(t, min(n_protect, K))[0][-1]
+    cand = (
+        active
+        & (t < thresh_t)
+        & (idx != last_kf)
+        & (st.kf_prev >= 0)  # never the root keyframe
+    )
+    conn = jnp.sum(st.covis, axis=1).astype(jnp.float32)
+    best = jnp.argmax(jnp.where(cand, conn, -1.0)).astype(jnp.int32)
+    return jnp.where(jnp.any(cand), best, -1)
+
+
 @jax.jit
 def remove_keyframe(st: MapState, kf_id):
     """Remove a redundant keyframe: clear its observations, merge its

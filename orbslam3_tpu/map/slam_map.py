@@ -386,6 +386,39 @@ def _remove_map_points(st: MapState, bad_mask, max_cull: int = 4096):
     )
 
 
+@partial(jax.jit, static_argnames=("n_evict", "n_protect_kf"))
+def evict_stale_points(st: MapState, n_evict: int, n_protect_kf: int = 8):
+    """Capacity-pressure eviction of STALE map points (host service).
+
+    With fixed-capacity arrays a textured world spawns corners without
+    bound; once mp rows fill, insert_keyframe's `new_ids < M` guard
+    silently stops spawning and tracking starves in new view directions
+    (the long-soak collapse). Regular culling only removes weak YOUNG
+    points (reference rule, local_mapper.rs:421-486) — mature points that
+    left the field of view live forever. Under pressure we evict the
+    lowest-value eligible points: not observed by any of the newest
+    `n_protect_kf` keyframes (the local map), fewest observations first,
+    least-recently-observed as tie-break. Well-observed old landmarks
+    (loop-closure anchors) go last. The reference has no analog — it
+    never bounds memory (map.rs:30-41)."""
+    t = jnp.where(st.kf_valid & (st.kf_map_id == st.active_map),
+                  st.kf_time, -jnp.inf)
+    k_eff = min(n_protect_kf, t.shape[0])
+    thresh_t = jax.lax.top_k(t, k_eff)[0][-1]
+    obs_ok = st.mp_obs_kf >= 0
+    obs_t = jnp.where(obs_ok, st.kf_time[jnp.clip(st.mp_obs_kf, 0, None)],
+                      -jnp.inf)
+    newest_t = jnp.max(obs_t, axis=1)  # (M,) -inf if unobserved
+    eligible = st.mp_valid & (newest_t < thresh_t)
+    # smaller = evicted first: obs count dominates, recency tie-breaks
+    score = st.mp_obs_n.astype(jnp.float32) * 1e6 + newest_t
+    n_evict = min(n_evict, st.mp_valid.shape[0])
+    _, ids = jax.lax.top_k(jnp.where(eligible, -score, -jnp.inf), n_evict)
+    ok = eligible[ids]
+    mask = jnp.zeros_like(st.mp_valid).at[jnp.where(ok, ids, 0)].max(ok)
+    return _remove_map_points(st, mask)
+
+
 def local_window(st: MapState, kf_id, window: int):
     """Top-`window` covisible keyframes of kf_id (plus kf_id itself first).
 
@@ -476,6 +509,31 @@ def reset_active_map(st: MapState):
     tracker.rs:549-581 policy)."""
     kf_bad = st.kf_valid & (st.kf_map_id == st.active_map)
     mp_bad = st.mp_valid & (st.mp_map_id == st.active_map)
+    covis = jnp.where(kf_bad[:, None] | kf_bad[None, :], 0, st.covis)
+    return st._replace(
+        kf_valid=st.kf_valid & ~kf_bad,
+        mp_valid=st.mp_valid & ~mp_bad,
+        mp_obs_kf=jnp.where(mp_bad[:, None], -1, st.mp_obs_kf),
+        mp_obs_feat=jnp.where(mp_bad[:, None], -1, st.mp_obs_feat),
+        mp_obs_n=jnp.where(mp_bad, 0, st.mp_obs_n),
+        kf_mp=jnp.where(kf_bad[:, None], -1, st.kf_mp),
+        covis=covis,
+    )
+
+
+@jax.jit
+def drop_map(st: MapState, map_id):
+    """Invalidate every keyframe/point of an ARCHIVED map (capacity
+    eviction). With fixed-capacity arrays an archive is not free: a
+    long-lived session that lost tracking at full keyframe capacity would
+    otherwise wedge — create_new_map keeps the old rows valid, the fresh
+    map cannot insert its first keyframe (has_room false), and compaction
+    reclaims only invalid rows (found by the capacity soak test). The
+    host evicts oldest-archived-first under pressure (fused.py::
+    _maybe_compact); the reference never deletes archived maps but also
+    never bounds memory (atlas.rs:52-95)."""
+    kf_bad = st.kf_valid & (st.kf_map_id == map_id)
+    mp_bad = st.mp_valid & (st.mp_map_id == map_id)
     covis = jnp.where(kf_bad[:, None] | kf_bad[None, :], 0, st.covis)
     return st._replace(
         kf_valid=st.kf_valid & ~kf_bad,
