@@ -335,6 +335,7 @@ def _slam_step_core(st: sm.MapState, ts: TrackState, left_u8, right_u8,
         policy_kf = policy_kf | policy.keyframe_wanted_lost(
             mode == MODE_RECENTLY_LOST, ts.imu_ok, have_imu,
             frames_since, cfg.kf_max_frames,
+            allow_visual=cfg.insert_kfs_lost_visual,
         )
     # capacity guard: never insert past the keyframe array (XLA scatter
     # would silently drop rows while counters advance -> corrupted map)
@@ -617,6 +618,20 @@ class FusedSlam:
         # keyframes can skip the exhaustive detection pass
         self._mapid_inflight = None
         self._multi_map = False
+        # pipelined tracker-mode snapshot: when the (one-round-stale) mode
+        # is RECENTLY_LOST, loop-closing services run in RELOCALIZATION
+        # mode — consistency gate relaxed to 1 so the first verified
+        # candidate re-enters the SAME map before the device's
+        # lost-timeout spawns a new one (beats the reference, which only
+        # resets — tracker.rs:549-581; VERDICT r3 next #6)
+        self._mode_inflight = None
+        # reloc mode stays armed a few service rounds past the last LOST
+        # snapshot: tracking re-acquires against the FRESH (drift-
+        # positioned) lost-keyframe points within a round or two, but the
+        # drifted segment still needs the relocalization correction —
+        # and the detection packet that carries it is pipelined one
+        # keyframe behind
+        self._reloc_until = -1
         self._last_t = 0.0
         self.loop_closer = None
         if vocabulary is not None:
@@ -741,46 +756,114 @@ class FusedSlam:
             or self._mp_ub >= cap.max_mp - 2 * self.cfg.new_mp_budget
         )
 
+    def _compact_once(self):
+        """One compaction pass + all host remap bookkeeping."""
+        from orbslam3_tpu.map.compaction import compact_map
+
+        prev_chain = np.asarray(self.map.kf_prev)  # pre-compaction rows
+        self.map, kf_map, _mp_map = compact_map(self.map)
+        km = np.asarray(kf_map)
+        # If the tracker's reference keyframe was culled, walk its
+        # temporal chain to the nearest surviving predecessor rather
+        # than silently re-referencing row 0 (an arbitrary oldest KF).
+        lk = int(self.ts.last_kf)
+        new_lk = -1
+        for _ in range(len(km)):
+            if not (0 <= lk < len(km)):
+                break
+            new_lk = int(km[lk])
+            if new_lk >= 0:
+                break
+            lk = int(prev_chain[lk])
+        self.ts = self.ts._replace(last_kf=jnp.int32(max(new_lk, 0)))
+        if self.loop_closer is not None:
+            self.loop_closer.remap_rows(km)
+        # only rows ALREADY serviced count as seen: with the pipelined
+        # n_kf snapshot, 1-2 keyframes newer than the snapshot exist at
+        # compaction time and must still get their loop-closing service
+        # next round (jumping to the full post-compaction count would
+        # silently skip their detection forever)
+        self._n_kf_seen = int((km[: self._n_kf_seen] >= 0).sum())
+        self._kf_remaps.append(km)
+        self.compactions += 1
+        # the in-flight n_kf snapshot indexes pre-compaction rows
+        self._nkf_inflight = None
+        self._nmp_inflight = None
+
     def _maybe_compact(self):
         """Reclaim culled rows when capacity nears exhaustion (the SoA
         analog of the reference's unbounded map — map.rs:30-41). Runs as a
-        host service: one extra dispatch, only near the capacity ceiling."""
-        from orbslam3_tpu.map.compaction import compact_map
+        host service: one extra dispatch, only near the capacity ceiling.
 
+        If capacity stays exhausted AFTER compaction, live rows are what
+        occupy it and something must go or the system wedges/starves
+        (found by the capacity soak test):
+        - keyframe rows held by ARCHIVED maps: evict oldest-archived map
+          first (a tracking loss at full capacity could otherwise never
+          insert the fresh map's anchor keyframe);
+        - keyframe rows of ONE giant active map: pressure-evict the most-
+          connected non-recent keyframes (spatial thinning — without new
+          keyframe rows, new map points can never spawn and tracking
+          starves as the camera moves on);
+        - map-point rows: evict stale low-value points (regular culling
+          only removes weak YOUNG points; mature out-of-view points live
+          forever and a textured world spawns corners without bound)."""
         if not self._compact_due():
             return
         n_kf, n_mp = int(self.map.n_kf), int(self.map.n_mp)
         cap = self.cfg.cap
         if n_kf >= cap.max_kf - 4 or n_mp >= cap.max_mp - 2 * self.cfg.new_mp_budget:
-            prev_chain = np.asarray(self.map.kf_prev)  # pre-compaction rows
-            self.map, kf_map, _mp_map = compact_map(self.map)
-            km = np.asarray(kf_map)
-            # If the tracker's reference keyframe was culled, walk its
-            # temporal chain to the nearest surviving predecessor rather
-            # than silently re-referencing row 0 (an arbitrary oldest KF).
-            lk = int(self.ts.last_kf)
-            new_lk = -1
-            for _ in range(len(km)):
-                if not (0 <= lk < len(km)):
-                    break
-                new_lk = int(km[lk])
-                if new_lk >= 0:
-                    break
-                lk = int(prev_chain[lk])
-            self.ts = self.ts._replace(last_kf=jnp.int32(max(new_lk, 0)))
-            if self.loop_closer is not None:
-                self.loop_closer.remap_rows(km)
-            # only rows ALREADY serviced count as seen: with the pipelined
-            # n_kf snapshot, 1-2 keyframes newer than the snapshot exist at
-            # compaction time and must still get their loop-closing service
-            # next round (jumping to the full post-compaction count would
-            # silently skip their detection forever)
-            self._n_kf_seen = int((km[: self._n_kf_seen] >= 0).sum())
-            self._kf_remaps.append(km)
-            self.compactions += 1
-            # the in-flight n_kf snapshot indexes pre-compaction rows
-            self._nkf_inflight = None
-            self._nmp_inflight = None
+            from orbslam3_tpu.map import mapping_ops as mo
+            from orbslam3_tpu.map.slam_map import (
+                cull_map_points, drop_map, evict_stale_points)
+
+            self._compact_once()
+            while int(self.map.n_kf) >= cap.max_kf - 4:
+                kf_map = np.asarray(self.map.kf_map_id)
+                kf_valid = np.asarray(self.map.kf_valid)
+                active = int(self.map.active_map)
+                archived = sorted(
+                    set(kf_map[kf_valid].tolist()) - {active})
+                if archived:
+                    self._log.info(
+                        "capacity pressure: evicting archived map %d",
+                        archived[0])
+                    self.map = drop_map(self.map, jnp.int32(archived[0]))
+                    self.map_evictions = getattr(
+                        self, "map_evictions", 0) + 1
+                else:
+                    # one giant active map: thin the densest regions
+                    evicted = 0
+                    for _ in range(max(cap.max_kf // 8, 4)):
+                        k = int(mo.select_pressure_evict_kf(
+                            self.map, self.ts.last_kf))
+                        if k < 0:
+                            break
+                        self.map = mo.remove_keyframe(self.map,
+                                                      jnp.int32(k))
+                        evicted += 1
+                    if evicted == 0:
+                        break
+                    self._log.info(
+                        "capacity pressure: evicted %d keyframes", evicted)
+                    self.kf_evictions = getattr(
+                        self, "kf_evictions", 0) + evicted
+                    # orphaned points (lost their observers) go with them
+                    self.map = cull_map_points(self.map)
+                self._compact_once()
+            # stale-point eviction: free >= 4 keyframes' spawn headroom
+            # per pass, bounded by _remove_map_points' per-pass cull cap
+            n_evict = min(max(cap.max_mp // 8,
+                              4 * self.cfg.new_mp_budget), 4096)
+            while int(self.map.n_mp) >= cap.max_mp - 2 * self.cfg.new_mp_budget:
+                before = int(self.map.n_mp)
+                self.map = evict_stale_points(self.map, n_evict)
+                self._compact_once()
+                after = int(self.map.n_mp)
+                if after >= before:
+                    break  # nothing eligible (all protected)
+                self.mp_evictions = getattr(
+                    self, "mp_evictions", 0) + (before - after)
         # resync bounds to the true (possibly just-compacted) counts
         self._kf_ub = int(self.map.n_kf)
         self._mp_ub = int(self.map.n_mp)
@@ -854,14 +937,19 @@ class FusedSlam:
         snap_mp, self._nmp_inflight = self._nmp_inflight, self.map.n_mp + jnp.int32(0)
         snap_mm, self._mapid_inflight = (
             self._mapid_inflight, self.map.next_map_id + jnp.int32(0))
+        snap_mode, self._mode_inflight = (
+            self._mode_inflight, self.ts.mode + jnp.int32(0))
         snap_frame, self._snap_inflight_frame = (
             self._snap_inflight_frame, self._frames)
         try:
             self._nkf_inflight.copy_to_host_async()
             self._nmp_inflight.copy_to_host_async()
             self._mapid_inflight.copy_to_host_async()
+            self._mode_inflight.copy_to_host_async()
         except AttributeError:
             pass
+        if snap_mode is not None and int(snap_mode) == MODE_RECENTLY_LOST:
+            self._reloc_until = self._service_round + 4
         if final or snap is None:
             n_kf = int(self.map.n_kf)
         else:
@@ -918,6 +1006,7 @@ class FusedSlam:
                 self.map, corrected = self.loop_closer.on_keyframe(
                     self.map, k, self.cam, multi_map=self._multi_map,
                     round_id=self._service_round,
+                    reloc=self._service_round < self._reloc_until,
                 )
                 self._toc("loop_correct" if corrected else "loop_service", t0)
                 if corrected:

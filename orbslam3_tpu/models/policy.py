@@ -37,13 +37,20 @@ def keyframe_wanted(mode_ok, frames_since_kf, n_inliers, ref_inliers,
 
 
 def keyframe_wanted_lost(mode_recently_lost, imu_ok, have_imu,
-                         frames_since_kf, kf_max_frames: int):
+                         frames_since_kf, kf_max_frames: int,
+                         allow_visual: bool = False):
     """KF insertion while RecentlyLost on IMU dead-reckoning (reference
     mInsertKFsLost, tracker.rs:232-268): bridges brief occlusions so the
-    map survives instead of resetting."""
+    map survives instead of resetting.
+
+    allow_visual=True extends the policy to visual-only mode (dead-
+    reckoning on the constant-velocity motion model): the lost keyframes
+    spawn fresh stereo map points at the dead-reckoned pose, which is what
+    the relocalization path verifies a Sim3 against — without them a
+    visual-only blackout can only be repaired by map-spawn + merge."""
+    sensor_ok = (jnp.asarray(imu_ok) & jnp.asarray(have_imu)) | allow_visual
     return (
         jnp.asarray(mode_recently_lost)
-        & jnp.asarray(imu_ok)
-        & jnp.asarray(have_imu)
+        & sensor_ok
         & (jnp.asarray(frames_since_kf) >= kf_max_frames)
     )

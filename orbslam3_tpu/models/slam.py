@@ -98,6 +98,9 @@ class SlamConfig(NamedTuple):
     # recovery (reference: mInsertKFsLost tracker.rs:232-268; bad_imu
     # static-camera guard imu_init.rs:194-233: <2 cm over 10 s => reset)
     insert_kfs_lost: bool = True
+    # extend lost-KF insertion to visual-only dead-reckoning so the
+    # relocalization path works without IMU (models/policy.py)
+    insert_kfs_lost_visual: bool = False
     # no-prior robust pose on the fallback path (reference: solve_pnp_ransac
     # pnp.rs:29-137; here batched 3D-3D Horn-RANSAC, optim/robust_pose.py)
     ransac_fallback: bool = True
