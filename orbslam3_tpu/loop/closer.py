@@ -78,13 +78,15 @@ class LoopConfig(NamedTuple):
     loop_edge_weight: float = 100.0  # (ref: loop edge weight 100)
     allow_cross_map: bool = True  # detect candidates in archived maps -> merge
     # reference min-score gate (detector.rs: candidates must score >= the
-    # minimum BoW score among the query's covisible keyframes). Default
-    # OFF: on the self-similar synthetic world BoW L1 scores are nearly
-    # flat across viewpoints (genuine revisit ranked ~11th) and the gate
-    # can veto true loops; with a real discriminative vocabulary on real
-    # data it prunes the exhaustive-match candidate list the way DBoW2
-    # does. Scores ride the detection packet either way.
-    bow_min_score_gate: bool = False
+    # minimum BoW score among the query's covisible keyframes). Default ON
+    # since round 4: on the adversarial TEXTURED world (the production
+    # benchmark) a vocabulary trained on the world's own descriptors ranks
+    # the genuine revisit first 4/4 with 1.5-1.8x margin over aliased
+    # views (scripts/probe_bow_gate.py), so the gate prunes the exhaustive
+    # verify list the way DBoW2's does. The old 2x2-fiducial world has
+    # near-flat L1 scores (genuine revisit ranked ~11th) — fiducial-world
+    # tests disable the gate explicitly.
+    bow_min_score_gate: bool = True
     run_global_ba: bool = True  # reference runs global BA after correction
     # whole-map budget: with gba_tile point-tiling the Schur reduction
     # (parallel/distributed_ba.py), 32768 = MapCapacity.max_mp — every
@@ -596,9 +598,13 @@ class LoopCloser:
             if cand_counts[r] < floor or cand_ids[r] < 0:
                 continue
             # reference min-score gate (detector.rs): candidate must score
-            # at least as well as the worst covisible keyframe
-            if (cfg.bow_min_score_gate and np.isfinite(min_covis)
-                    and cand_bow[r] < min_covis):
+            # at least as well as the worst covisible keyframe. Loop
+            # detection only — in reloc mode the query is a dead-reckoned
+            # lost keyframe whose covisibles are themselves lost keyframes
+            # (an unreliable score reference), and ORB-SLAM3's
+            # relocalization candidate search has no covisible gate either.
+            if (cfg.bow_min_score_gate and not reloc
+                    and np.isfinite(min_covis) and cand_bow[r] < min_covis):
                 continue
             self.stats = self.stats._replace(
                 candidates_checked=self.stats.candidates_checked + 1)
@@ -950,17 +956,22 @@ class LoopCloser:
         cfg = self.cfg
         devs = jax.devices()
         n_dev = len(devs)
-        # P must divide by n_dev (sharding) and the per-device block by
-        # gba_tile (the Schur tiling scan)
-        unit = n_dev * max(cfg.gba_tile, 1)
-        P = max((cfg.gba_max_points // unit) * unit, unit)
+        # size the table to the smaller of the configured budget and the
+        # MAP CAPACITY (a test-scale 2k-point map must not pay a 32k-slot
+        # program); P must divide by n_dev (sharding) and the per-device
+        # block by the tile (the Schur tiling scan)
+        M = st.mp_pos.shape[0]
+        want = max(min(cfg.gba_max_points, M), 1)
+        tile = max(min(cfg.gba_tile, -(-want // n_dev)), 1)
+        unit = n_dev * tile
+        P = -(-want // unit) * unit
         pts, ids = make_point_table(st, P, cfg.gba_obs)
         mesh = Mesh(np.array(devs), ("pt",))
         K = st.kf_valid.shape[0]
         opt = st.kf_valid & (jnp.arange(K) != anchor_kf)
         q, p, Xw = distributed_global_ba(
             mesh, pts, st.kf_q, st.kf_p, opt, cam, iters=cfg.gba_iters,
-            tile=cfg.gba_tile,
+            tile=tile,
         )
         ids = jnp.asarray(np.asarray(ids))
         mp_pos = st.mp_pos.at[ids].set(Xw[: ids.shape[0]])

@@ -215,7 +215,7 @@ def test_loop_closure_end_to_end():
     q_before = np.asarray(st.kf_q)[:10].copy()
     corpus = np.concatenate([lm_desc, RNG.integers(0, 256, (2000, 32)).astype(np.uint8)])
     voc = vb.train_vocabulary(corpus, k=6, levels=3)
-    closer = LoopCloser(voc, LoopConfig(recent_gap=4, consistency_needed=2,
+    closer = LoopCloser(voc, LoopConfig(bow_min_score_gate=False, recent_gap=4, consistency_needed=2,
                                         covis_edge_weight_min=10))
     # feed pass-1 keyframes (no loops expected), then pass-2
     corrected = False
@@ -305,7 +305,7 @@ def test_cross_map_merge():
 
     corpus = np.concatenate([lm_desc, RNG.integers(0, 256, (2000, 32)).astype(np.uint8)])
     voc = vb.train_vocabulary(corpus, k=6, levels=3)
-    closer = LoopCloser(voc, LoopConfig(recent_gap=2, consistency_needed=2,
+    closer = LoopCloser(voc, LoopConfig(bow_min_score_gate=False, recent_gap=2, consistency_needed=2,
                                         covis_edge_weight_min=10, run_global_ba=False))
     merged = False
     for k in range(int(st.n_kf)):
@@ -407,7 +407,7 @@ def test_loop_edges_accumulate_and_remap():
         [lm_desc, RNG.integers(0, 256, (2000, 32)).astype(np.uint8)]
     )
     voc = vb.train_vocabulary(corpus, k=6, levels=3)
-    closer = LoopCloser(voc, LoopConfig(recent_gap=4, consistency_needed=2,
+    closer = LoopCloser(voc, LoopConfig(bow_min_score_gate=False, recent_gap=4, consistency_needed=2,
                                         covis_edge_weight_min=10))
     for k in range(int(st.n_kf)):
         st, _ = closer.on_keyframe(st, k, CAM)
@@ -454,7 +454,7 @@ def test_detection_odd_capacity():
     )
     voc = vb.train_vocabulary(corpus, k=6, levels=3)
     # consistency_needed high: exercise detection only (no correction)
-    closer = LoopCloser(voc, LoopConfig(recent_gap=4, consistency_needed=99))
+    closer = LoopCloser(voc, LoopConfig(bow_min_score_gate=False, recent_gap=4, consistency_needed=99))
     for k in range(int(st.n_kf)):
         st, c = closer.on_keyframe(st, k, CAM)
         assert not c
@@ -499,11 +499,21 @@ def test_bow_min_score_gate():
     st, c = closer2.drain(st, CAM)
     assert closer2.stats.candidates_checked == 1
 
-    # gate OFF (default): the same low-scoring candidate is examined
-    closer3 = LoopCloser(voc, LoopConfig())
+    # gate OFF (fiducial-world setting; production default is ON since
+    # round 4): the same low-scoring candidate is examined
+    closer3 = LoopCloser(voc, LoopConfig(bow_min_score_gate=False))
     closer3._pending = (8, *fake_packet(bow_score=0.2, min_covis=0.5))
     st, c = closer3.drain(st, CAM)
     assert closer3.stats.candidates_checked == 1
+
+    # gate ON but RELOC mode: the gate is bypassed (the query is a dead-
+    # reckoned lost keyframe whose covisibles are an unreliable score
+    # reference; ORB-SLAM3's relocalization search has no covisible gate)
+    closer4 = LoopCloser(voc, LoopConfig(bow_min_score_gate=True))
+    closer4._ensure_storage(st)
+    pkt = fake_packet(bow_score=0.2, min_covis=0.5)
+    st, c = closer4._process_packet(st, 8, *pkt, CAM, reloc=True)
+    assert closer4.stats.candidates_checked == 1
 
 
 @pytest.mark.slow
@@ -517,7 +527,7 @@ def test_warmup_compiles_all_programs():
         [lm_desc, RNG.integers(0, 256, (2000, 32)).astype(np.uint8)]
     )
     voc = vb.train_vocabulary(corpus, k=6, levels=3)
-    closer = LoopCloser(voc, LoopConfig(recent_gap=4))
+    closer = LoopCloser(voc, LoopConfig(bow_min_score_gate=False, recent_gap=4))
     closer.warmup(st, CAM)
     # warmup must leave no pending work and an intact (device-resident)
     # BoW table usable by a subsequent real keyframe service
@@ -538,7 +548,7 @@ def test_verify_round_tag_defers_same_round():
         [lm_desc, RNG.integers(0, 256, (2000, 32)).astype(np.uint8)]
     )
     voc = vb.train_vocabulary(corpus, k=6, levels=3)
-    closer = LoopCloser(voc, LoopConfig(recent_gap=4, consistency_needed=2,
+    closer = LoopCloser(voc, LoopConfig(bow_min_score_gate=False, recent_gap=4, consistency_needed=2,
                                         covis_edge_weight_min=10))
     corrected_round = None
     n_kf = int(st.n_kf)

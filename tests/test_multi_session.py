@@ -171,7 +171,7 @@ def test_merge_session_maps_welds_overlap():
     voc = vb.train_vocabulary(corpus, k=6, levels=3)
     merged, closer = merge_session_maps(
         [st_a, st_b], voc, cam,
-        LoopConfig(recent_gap=2, consistency_needed=2,
+        LoopConfig(bow_min_score_gate=False, recent_gap=2, consistency_needed=2,
                    covis_edge_weight_min=10, run_global_ba=False),
     )
     assert closer.stats.corrected >= 1, closer.stats
