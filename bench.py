@@ -46,9 +46,7 @@ def build_world(duration: float):
     cfg = SyntheticConfig(duration=duration, n_landmarks=1500, **HARD_WORLD)
     world = SyntheticWorld(cfg)
     times = world.frame_times()
-    frames = [
-        tuple(x.astype(np.uint8) for x in world.render_frame(t)) for t in times
-    ]
+    frames = world.render_sequence(times)
     imu = []
     for i, t in enumerate(times):
         t_prev = times[i - 1] if i > 0 else t
@@ -110,15 +108,7 @@ def build_revisit_world(duration: float = 24.0, seed: int = 7,
     )
     world = SyntheticWorld(cfg)
     times = world.frame_times()
-    blank = np.full((cfg.height, cfg.width), 127, np.uint8)
-    frames = []
-    for t in times:
-        if blackout[0] <= t < blackout[1]:
-            frames.append((blank, blank))
-        else:
-            frames.append(
-                tuple(x.astype(np.uint8) for x in world.render_frame(t))
-            )
+    frames = world.render_sequence(times, blackout=blackout)
     imu = []
     for i, t in enumerate(times):
         t_prev = times[i - 1] if i > 0 else t

@@ -31,6 +31,20 @@ from orbslam3_tpu.frontend.camera import Camera
 GRAVITY_NP = np.array([0.0, 0.0, -9.81], dtype=np.float32)
 
 
+_POOL_WORLD = None
+
+
+def _pool_init(world):
+    """Worker initializer: ship the world ONCE per process, not per task
+    (it carries the landmark table + pixel-ray cache, ~5 MB)."""
+    global _POOL_WORLD
+    _POOL_WORLD = world
+
+
+def _render_one(t):
+    return _POOL_WORLD.render_frame(t)
+
+
 # ------------------------- host-side quaternion helpers (wxyz) -----------
 def _qmul(q1, q2):
     w1, x1, y1, z1 = q1
@@ -492,6 +506,43 @@ class SyntheticWorld:
         # 8-bit intensity convention (matches EuRoC PNGs; FAST thresholds
         # are calibrated for 0..255)
         return (img * 255.0).astype(np.float32)
+
+    def render_sequence(self, times, blackout=None, workers: int = 0):
+        """Render many frames, fanning out over worker processes (the
+        textured ray tracer costs ~0.1 s per camera render; a 180 s soak
+        sequence is 3600 frames — serial rendering would dominate wall
+        time). Returns [(left_u8, right_u8)] in `times` order.
+
+        blackout: optional (t0, t1) — frames in the window render flat
+        gray (sensor dropout)."""
+        import os
+        from concurrent.futures import ProcessPoolExecutor
+
+        blank = np.full((self.cfg.height, self.cfg.width), 127, np.uint8)
+
+        def is_blank(t):
+            return blackout is not None and blackout[0] <= t < blackout[1]
+
+        live = [t for t in times if not is_blank(t)]
+        if workers <= 0:
+            workers = max((os.cpu_count() or 2) - 1, 1)
+        if workers == 1 or len(live) < 8:
+            rendered = {t: self.render_frame(t) for t in live}
+        else:
+            with ProcessPoolExecutor(
+                workers, initializer=_pool_init, initargs=(self,)
+            ) as ex:
+                out = ex.map(_render_one, live,
+                             chunksize=max(len(live) // (workers * 8), 1))
+                rendered = dict(zip(live, out))
+        frames = []
+        for t in times:
+            if is_blank(t):
+                frames.append((blank, blank))
+            else:
+                l, r = rendered[t]
+                frames.append((l.astype(np.uint8), r.astype(np.uint8)))
+        return frames
 
     def gt_trajectory(self):
         """(T, 3) positions + (T, 4) quats at frame times."""
