@@ -21,24 +21,34 @@ MARK_BEGIN = "<!-- eval_suite:begin -->"
 MARK_END = "<!-- eval_suite:end -->"
 
 
-def run_config(seed, duration, mode, chunk=8):
-    import jax
+_WORLD_CACHE = {}
 
-    from orbslam3_tpu.eval.metrics import ate_rmse, rpe_rmse
+
+def _get_world(seed, duration, mode):
+    """Memoized world+frames: each (world kind, seed) is rendered once —
+    the warmup run and every per-seed run reuse it (the textured ray
+    tracer is the expensive part)."""
     from orbslam3_tpu.io.synthetic import SyntheticConfig, SyntheticWorld, euroc_t_bc
-    from orbslam3_tpu.models.fused import FusedSlam
-    from orbslam3_tpu.models.slam import SlamConfig
 
     if mode in ("revisit", "revisit_loop"):
+        key = ("revisit", seed, max(duration, 24.0))
+    elif mode == "inertial_easy":
+        key = ("easy", seed, duration)
+    elif mode == "extrinsics":
+        key = ("extrinsics", seed, duration)
+    else:
+        key = ("hard", seed, duration)
+    if key in _WORLD_CACHE:
+        return _WORLD_CACHE[key]
+
+    if key[0] == "revisit":
         # drift-then-revisit (blackout + IMU bias step; see
         # bench.build_revisit_world): the pair of rows isolates what loop
         # closing buys on the SAME sequence (VERDICT r1 weak #3: the
         # benchmark never exercised loop closing)
         from bench import build_revisit_world
 
-        world, times, frames, imu = build_revisit_world(
-            duration=max(duration, 24.0), seed=seed
-        )
+        out = build_revisit_world(duration=max(duration, 24.0), seed=seed)
     else:
         from bench import HARD_WORLD
 
@@ -46,18 +56,31 @@ def run_config(seed, duration, mode, chunk=8):
         # every row runs on the adversarial textured world except the
         # "inertial_easy" reference row (the delta vs the old fiducial
         # world — VERDICT r3 next #1 asks for it in writing)
-        if mode != "inertial_easy":
+        if key[0] != "easy":
             kw.update(HARD_WORLD)
-        if mode == "extrinsics":
+        if key[0] == "extrinsics":
             q_bc, p_bc = euroc_t_bc()
             kw.update(q_bc=q_bc, p_bc=p_bc)
         world = SyntheticWorld(SyntheticConfig(**kw))
         times = world.frame_times()
-        frames = [tuple(x.astype(np.uint8) for x in world.render_frame(t)) for t in times]
+        frames = world.render_sequence(times)
         imu = []
         for i, t in enumerate(times):
             t_prev = times[i - 1] if i > 0 else t
             imu.append(world.imu_window(t_prev, t))
+        out = (world, times, frames, imu)
+    _WORLD_CACHE[key] = out
+    return out
+
+
+def run_config(seed, duration, mode, chunk=8):
+    import jax
+
+    from orbslam3_tpu.eval.metrics import ate_rmse, rpe_rmse
+    from orbslam3_tpu.models.fused import FusedSlam
+    from orbslam3_tpu.models.slam import SlamConfig
+
+    world, times, frames, imu = _get_world(seed, duration, mode)
 
     use_imu = mode != "stereo"
     # the ONE production config, identical to bench.py's INCLUDING the

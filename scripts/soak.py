@@ -89,11 +89,17 @@ def main():
             jax.block_until_ready(slam.ts.q)  # soak instrumentation sync
             now = time.perf_counter()
             rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+            modes_w = slam.modes()[-win_frames:]
             row = dict(
                 t=float(t), fps=round(win_frames / (now - t_win), 1),
                 n_kf=int(slam.map.n_kf), n_mp=int(slam.map.n_mp),
+                ok_frac=round(float((modes_w == 1).mean()), 2),
                 compactions=slam.compactions,
                 loops=int(slam.loop_closer.stats.corrected),
+                relocs=int(slam.loop_closer.stats.relocalized),
+                kf_evict=getattr(slam, "kf_evictions", 0),
+                mp_evict=getattr(slam, "mp_evictions", 0),
+                maps=int(slam.map.next_map_id),
                 outs_len=len(slam.outs), rss_mb=rss,
             )
             rows.append(row)
@@ -121,8 +127,13 @@ def main():
         ate_m=round(float(ate), 4),
         n_kf_final=int(slam.map.n_kf),
         n_mp_final=int(slam.map.n_mp),
+        ok_frac=round(float((slam.modes() == 1).mean()), 3),
         compactions=slam.compactions,
         loop_corrections=int(slam.loop_closer.stats.corrected),
+        relocalizations=int(slam.loop_closer.stats.relocalized),
+        kf_evictions=getattr(slam, "kf_evictions", 0),
+        mp_evictions=getattr(slam, "mp_evictions", 0),
+        maps_spawned=int(slam.map.next_map_id),
         candidates_checked=int(slam.loop_closer.stats.candidates_checked),
         outs_len_final=len(slam.outs),
         trajectory_export_s=round(traj_s, 2),
