@@ -44,6 +44,13 @@ class LoopConfig(NamedTuple):
     recent_gap: int = 15  # keyframe-id exclusion window (ref: 30)
     consistency_needed: int = 3  # consecutive-KF consistency (ref: 3)
     match_hamming_max: int = 50  # KF-KF descriptor gate (ref: dist<50)
+    # pose-graph odometry-edge quality gate: edges whose endpoints were
+    # inserted with fewer pose-solve inliers (dead-reckoning through a
+    # blackout, lost-mode reacquisition) get weak_edge_weight instead of
+    # 1.0 — the correction bends the trajectory exactly where tracking was
+    # blind instead of spreading the seam into the healthy segments
+    weak_edge_inliers: int = 30
+    weak_edge_weight: float = 0.05
     min_sim3_matches: int = 20
     min_sim3_inliers: int = 15  # (ref: >=15)
     # Sim3 RANSAC inlier gate: TWO-WAY reprojection chi^2 in pixels,
@@ -88,6 +95,25 @@ class LoopConfig(NamedTuple):
     # tests disable the gate explicitly.
     bow_min_score_gate: bool = True
     run_global_ba: bool = True  # reference runs global BA after correction
+    # post-correction visual-INERTIAL refinement over the recent temporal
+    # chain (ORB-SLAM3 runs FullInertialBA after a loop when IMU is up;
+    # the reference has no analog). The visual-only pose graph + GBA
+    # cannot constrain observation-less keyframes (a camera blackout's
+    # dead-reckoned chain) — this pass re-solves the last vi_refine_window
+    # keyframes' 15-dof states with IMU + bias-walk + visual edges, so the
+    # blackout segment becomes an IMU-consistent interpolation between the
+    # visually-anchored endpoints (measured: the revisit bench's corrected
+    # export bulged to ~9 m mid-blackout without it)
+    run_vi_refine: bool = True
+    # 96: must reach PAST a blackout + reacquisition keyframe burst so the
+    # window's oldest (gauge-anchor) keyframe is a healthy pre-blackout
+    # one — a window anchored on a drifted mid-bulge keyframe pins the
+    # bulge instead of smoothing it (measured: 8.8 m corrected-export
+    # residual at the reacquisition segment with window 64)
+    vi_refine_window: int = 96
+    vi_refine_points: int = 2048
+    vi_refine_fixed: int = 8
+    vi_refine_iters: int = 8
     # whole-map budget: with gba_tile point-tiling the Schur reduction
     # (parallel/distributed_ba.py), 32768 = MapCapacity.max_mp — every
     # valid landmark is refined after a correction, like the reference's
@@ -408,6 +434,10 @@ class LoopCloser:
         # pose_graph.rs:113-197; VERDICT r1 weak #8). Host-side list of
         # (i, j, q(4), t(3), s) numpy rows, capped at LOOP_EDGE_CAP.
         self._loop_edges: list[tuple] = []
+        # world-frame gravity for the post-correction inertial refinement;
+        # the host keeps it synced from the live tracker state once the
+        # IMU initializes (None = visual-only session, refinement skipped)
+        self.gravity_w = None
 
     # ------------------------------------------------------------------
     def _ensure_storage(self, st: MapState):
@@ -492,7 +522,12 @@ class LoopCloser:
                           st.kf_desc, st.kf_feat_valid, jnp.int32(0))
         jax.block_until_ready(packet)
         self._verify_all(st, 1, [0], cam)
+        # compile the post-correction VI refinement too (placeholder
+        # gravity — shapes are all that matter for the compile)
+        g_saved, self.gravity_w = self.gravity_w, jnp.asarray(
+            [0.0, 0.0, -9.81])
         st2 = self._correct(st, 1, 0, Sim3.identity(), cam, record=False)
+        self.gravity_w = g_saved
         jax.block_until_ready(st2.kf_q)
 
     def on_keyframe(self, st: MapState, kf_id: int, cam: Camera,
@@ -775,7 +810,9 @@ class LoopCloser:
         T_cur = Sim3(st.kf_q[kf_id], st.kf_p[kf_id], jnp.ones(()))
         T_corr = T_cand.compose(S_rel).compose(T_cur.inverse())
 
-        in_cur_kf = st.kf_valid & (st.kf_map_id == cur_map)
+        # culled rows of the folded map ride along too (pose coherence —
+        # they stay usable as later anchors / export references)
+        in_cur_kf = st.kf_map_id == cur_map
         in_cur_mp = st.mp_valid & (st.mp_map_id == cur_map)
 
         q_new = quat.normalize(quat.mul(T_corr.q[None], st.kf_q))
@@ -804,15 +841,55 @@ class LoopCloser:
         accumulated loop-edge store."""
         cfg = self.cfg
         K = st.kf_valid.shape[0]
-        valid = st.kf_valid & (st.kf_map_id == st.kf_map_id[kf_id])
+        # EVERY row of this map participates, INCLUDING culled rows: their
+        # stored poses ride along through the correction (via their kept
+        # temporal-chain edge) so they stay coherent as later loop-edge
+        # anchors and as trajectory-export references. Requiring kf_valid
+        # here silently invalidated the loop edge whenever redundancy
+        # culling removed the candidate between detection and apply — the
+        # r4 revisit's first (and best) correction was an exact no-op
+        # (pose-graph cost ~1e-11: all other edges are measured from
+        # current estimates, so without the loop edge GN has nothing to do)
+        mapmask = st.kf_map_id == st.kf_map_id[kf_id]
+        valid = st.kf_valid & mapmask
+        idx = jnp.arange(K, dtype=jnp.int32)
 
-        nodes = Sim3(st.kf_q, st.kf_p, jnp.ones((K,)))
+        # --- rigid pre-correction of the current segment (reference:
+        # corrector.rs:383-465 rigid propagation; ORB-SLAM3 CorrectLoop's
+        # CorrectedSim3 group). kf_id and everything newer start AT the
+        # verified corrected pose, so the loop edge is satisfied at
+        # initialization and GN only has to distribute the seam strain
+        # back along the drifted chain. Initializing the whole graph at
+        # the drifted estimates instead gives the (weight-100) loop edge
+        # an enormous residual that GN spreads into the HEALTHY lap too
+        # (measured on the r4 revisit: mean 5.7 m keyframe displacement,
+        # the previously-good first lap pulled meters off ground truth).
+        T_cand = Sim3(st.kf_q[cand], st.kf_p[cand], jnp.ones(()))
+        T_cur = Sim3(st.kf_q[kf_id], st.kf_p[kf_id], jnp.ones(()))
+        T_corr = T_cand.compose(S_rel).compose(T_cur.inverse())
+        group = mapmask & (idx >= kf_id)
+        q_pre = jnp.where(group[:, None],
+                          quat.normalize(quat.mul(T_corr.q[None], st.kf_q)),
+                          st.kf_q)
+        p_pre = jnp.where(group[:, None], T_corr.apply(st.kf_p), st.kf_p)
+        nodes = Sim3(q_pre, p_pre, jnp.ones((K,)))
 
-        # --- edges: temporal chain + top covisibility pairs + loop edge
+        # --- edges: temporal chain + top covisibility pairs + loop edge.
+        # Odometry edges whose endpoints tracked poorly at insert time
+        # (kf_inliers below the gate: blackout dead-reckoning, lost-mode
+        # reacquisition) are soft — the seam strain concentrates there.
+        # Only LIVE rows join the graph (the live temporal chain already
+        # bypasses culled rows — remove_keyframe repairs successors);
+        # culled rows are transported rigidly afterwards by their nearest
+        # live temporal ancestor's correction. Graph membership for culled
+        # rows was tried and produced unbounded excursions (a free node
+        # chain with only weak edges was flung 240 m by one GN step).
+        strong = st.kf_inliers >= cfg.weak_edge_inliers
         prev = st.kf_prev
         t_i = jnp.clip(prev, 0, K - 1)
         t_j = jnp.arange(K, dtype=jnp.int32)
         t_ok = (prev >= 0) & valid & valid[t_i]
+        w_t = jnp.where(strong & strong[t_i], 1.0, cfg.weak_edge_weight)
 
         w_cov, cov_j = jax.lax.top_k(
             jnp.where(valid[:, None] & valid[None, :], st.covis, 0),
@@ -821,6 +898,7 @@ class LoopCloser:
         c_i = jnp.repeat(jnp.arange(K, dtype=jnp.int32), cfg.covis_edges_per_node)
         c_j = cov_j.reshape(-1).astype(jnp.int32)
         c_ok = (w_cov.reshape(-1) >= cfg.covis_edge_weight_min) & (c_i < c_j)
+        w_c = jnp.where(strong[c_i] & strong[c_j], 1.0, cfg.weak_edge_weight)
 
         # past loop edges (fixed capacity so every correction reuses one
         # compiled solve shape), then the current loop edge LAST — the
@@ -843,28 +921,39 @@ class LoopCloser:
 
         l_i = jnp.asarray(np.concatenate([h_i, [cand]]), jnp.int32)
         l_j = jnp.asarray(np.concatenate([h_j, [kf_id]]), jnp.int32)
-        # past edges whose endpoints left this map (archived / culled after
-        # remap) contribute nothing
-        l_ok = jnp.asarray(np.concatenate([h_ok, [True]])) & valid[l_i] & valid[l_j]
+        # past edges whose endpoints were culled/archived contribute
+        # nothing; the NEW edge is forced valid — its cand endpoint joins
+        # the graph as the (fixed) anchor even when redundancy culling
+        # removed the row between detection and apply (the r4 silent-no-op
+        # correction). The anchor's stored pose stays coherent because
+        # every correction also transports culled rows (below).
+        node_ok = valid.at[cand].set(True)
+        l_ok = (jnp.asarray(np.concatenate([h_ok, [True]]))
+                & node_ok[l_i] & node_ok[l_j])
 
         e_i = jnp.concatenate([t_i, c_i, l_i])
         e_j = jnp.concatenate([t_j, c_j, l_j])
         e_ok = jnp.concatenate([t_ok, c_ok, l_ok])
         e_w = jnp.concatenate(
             [
-                jnp.full(K, 1.0),
-                jnp.full(K * cfg.covis_edges_per_node, 1.0),
+                w_t,
+                w_c,
                 jnp.full(E + 1, cfg.loop_edge_weight),
             ]
         )
 
-        # measurements: current relative estimates, except the loop edges
-        # which use their Sim3 solves: S_ij = S_i^-1 S_j with i=cand, j=cur
-        # measured as S_rel^-1 (S_rel maps cur-body -> cand-body = T_cand_cur
-        # = S_cand^-1 S_cur ... so measured S_ij IS S_rel).
+        # measurements: PRE-correction relative estimates (the odometry-
+        # consistent relatives — ORB-SLAM3's NonCorrectedSim3 side), except
+        # the loop edges which use their Sim3 solves: S_ij = S_i^-1 S_j
+        # with i=cand, j=cur measured as S_rel (S_rel maps cur-body ->
+        # cand-body = S_cand^-1 S_cur). The solver INITIALIZES at the
+        # rigidly pre-corrected `nodes`; measuring edges from those instead
+        # would zero every residual and make the graph a no-op.
+        nodes0 = Sim3(st.kf_q, st.kf_p, jnp.ones((K,)))
+
         def meas(i, j):
-            S_i = jax.tree.map(lambda a: a[i], nodes)
-            S_j = jax.tree.map(lambda a: a[j], nodes)
+            S_i = jax.tree.map(lambda a: a[i], nodes0)
+            S_j = jax.tree.map(lambda a: a[j], nodes0)
             return S_i.inverse().compose(S_j)
 
         e_meas = jax.vmap(meas)(e_i, e_j)
@@ -879,10 +968,10 @@ class LoopCloser:
             lambda a, v: a.at[-n_loop:].set(v), e_meas, loop_meas
         )
 
-        fixed = jnp.zeros((K,), bool).at[cand].set(True) | ~valid
+        fixed = jnp.zeros((K,), bool).at[cand].set(True) | ~node_ok
         prob = PoseGraphProblem(
             nodes=nodes,
-            node_valid=valid,
+            node_valid=node_ok,
             node_fixed=fixed,
             e_i=e_i,
             e_j=e_j,
@@ -892,9 +981,32 @@ class LoopCloser:
         )
         new_nodes, costs = solve_pose_graph(prob, iters=cfg.pose_graph_iters)
 
-        # --- apply: keyframes
-        kf_q = jnp.where(valid[:, None], quat.normalize(new_nodes.q), st.kf_q)
-        kf_p = jnp.where(valid[:, None], new_nodes.t, st.kf_p)
+        # --- apply: graph rows take their solved nodes
+        kf_q = jnp.where(node_ok[:, None], quat.normalize(new_nodes.q), st.kf_q)
+        kf_p = jnp.where(node_ok[:, None], new_nodes.t, st.kf_p)
+
+        # culled same-map rows follow their nearest LIVE temporal
+        # ancestor's correction rigidly: their poses stay coherent (later
+        # anchors, trajectory-export references for blackout-era frames)
+        # without graph membership. Bounded pointer chase through kf_prev
+        # (cull chains deeper than 16 keep their old pose — no worse than
+        # not transporting them at all).
+        anc = st.kf_prev
+        for _ in range(16):
+            anc_safe = jnp.clip(anc, 0, K - 1)
+            settled = (anc < 0) | st.kf_valid[anc_safe]
+            anc = jnp.where(settled, anc, st.kf_prev[anc_safe])
+        anc_safe = jnp.clip(anc, 0, K - 1)
+        anc_ok = (anc >= 0) & st.kf_valid[anc_safe]
+        dq_anc = quat.normalize(
+            quat.mul(kf_q[anc_safe], quat.conj(st.kf_q[anc_safe])))
+        q_trans = quat.normalize(quat.mul(dq_anc, st.kf_q))
+        p_trans = (quat.rotate(dq_anc, st.kf_p - st.kf_p[anc_safe])
+                   + kf_p[anc_safe])
+        move_culled = (mapmask & ~st.kf_valid & anc_ok
+                       & (jnp.arange(K) != cand))
+        kf_q = jnp.where(move_culled[:, None], q_trans, kf_q)
+        kf_p = jnp.where(move_culled[:, None], p_trans, kf_p)
         # Velocities must ride the correction too: keep each node's
         # BODY-frame velocity and re-express it in the corrected world
         # frame, v_w' = R_new R_old^T v_w. The reference's corrector skips
@@ -902,7 +1014,8 @@ class LoopCloser:
         # correction its VI-BA consumes world velocities expressed in the
         # pre-correction frame; we fix that here (VERDICT r2 missing #5).
         dq = quat.normalize(quat.mul(kf_q, quat.conj(st.kf_q)))
-        kf_v = jnp.where(valid[:, None], quat.rotate(dq, st.kf_v), st.kf_v)
+        moved = node_ok | move_culled
+        kf_v = jnp.where(moved[:, None], quat.rotate(dq, st.kf_v), st.kf_v)
 
         # --- map points: transform by reference keyframe's correction
         M = st.mp_pos.shape[0]
@@ -937,8 +1050,82 @@ class LoopCloser:
                               radius=2.5, max_hamming=40)
 
         if cfg.run_global_ba:
-            st = self._global_ba(st, cand, cam)
+            # GBA's gauge anchor must be a LIVE keyframe; when the
+            # candidate was culled between detection and apply, fall back
+            # to the oldest valid same-map row (one scalar fetch —
+            # corrections are rare)
+            anchor = int(cand)
+            if not bool(st.kf_valid[anchor]):
+                alive = np.nonzero(np.asarray(valid))[0]
+                anchor = int(alive[0]) if len(alive) else anchor
+            st = self._global_ba(st, anchor, cam)
+        if cfg.run_vi_refine and self.gravity_w is not None:
+            st = self._vi_refine(st, kf_id, cam)
         return st
+
+    def _vi_refine(self, st: MapState, kf_id: int, cam: Camera):
+        """Post-correction inertial smoothing of the recent temporal chain
+        (ORB-SLAM3's FullInertialBA-after-loop): 15-dof states + IMU +
+        bias-walk + visual edges over the last vi_refine_window keyframes,
+        anchored at the oldest (already loop-corrected) end plus fixed
+        covisible observers. gravity_w is set by the host (FusedSlam) from
+        the live tracker state whenever the IMU is initialized."""
+        from orbslam3_tpu.models.local_mapper import (
+            apply_vi_ba_results, build_vi_ba_problem)
+        from orbslam3_tpu.optim.vi_ba import solve_vi_ba
+
+        cfg = self.cfg
+        prob, ids, valid_w, pt_ids, pt_valid = build_vi_ba_problem(
+            st, jnp.int32(kf_id), cfg.vi_refine_window,
+            cfg.vi_refine_points, jnp.asarray(self.gravity_w),
+            cfg.vi_refine_fixed,
+        )
+        res = solve_vi_ba(prob, cam, iters=cfg.vi_refine_iters)
+        # wholesale sanity gate: the refinement exists to bend the WEAK
+        # (dead-reckoned) chain between visually-anchored ends; the
+        # healthy, just-loop-corrected keyframes must barely move. The
+        # per-iteration LM cost guard does not protect against this —
+        # the huber-capped visual term saturates while the whitened IMU
+        # residuals are unbounded, so a junk IMU edge can legally drag
+        # healthy keyframes meters (observed: a fixture run collapsed
+        # from 0.8 m to 35 m ATE through exactly this). One host fetch;
+        # corrections are rare.
+        ids_np = np.asarray(jax.device_get(ids))
+        vw = np.asarray(jax.device_get(valid_w & prob.opt_cam))
+        p_new = np.asarray(jax.device_get(res.p))
+        p_old = np.asarray(jax.device_get(prob.p))
+        # only ROCK-SOLID rows are protected (>=100 insert-time inliers):
+        # post-blackout reacquisition keyframes pass the ordinary 30-inlier
+        # health gate yet legitimately need multi-meter smoothing — gating
+        # on them froze the refinement out of exactly the segment it
+        # exists to repair
+        healthy = np.asarray(st.kf_inliers)[np.clip(ids_np, 0, None)] >= 100
+        mask = vw & healthy
+        from orbslam3_tpu.utils.logging import get_logger
+
+        _vlog = get_logger("orbslam3_tpu.loop")
+        if mask.any() and float(
+                np.linalg.norm(p_new[mask] - p_old[mask], axis=1).max()) > 1.0:
+            _vlog.info("vi_refine rejected: healthy keyframes moved too far "
+                       "(max %.2f m)",
+                       float(np.linalg.norm(
+                           p_new[mask] - p_old[mask], axis=1).max()))
+            return st
+        _vlog.info(
+            "vi_refine accepted: healthy max %.3f m, weak max %.3f m, "
+            "cost %.3g -> %.3g",
+            float(np.linalg.norm(p_new[mask] - p_old[mask], axis=1).max())
+            if mask.any() else 0.0,
+            float(np.linalg.norm(
+                p_new[vw & ~healthy] - p_old[vw & ~healthy], axis=1).max())
+            if (vw & ~healthy).any() else 0.0,
+            float(res.cost0), float(res.cost1))
+        kf_q, kf_p, kf_v, kf_bg, kf_ba, mp_pos = apply_vi_ba_results(
+            st, ids, valid_w & prob.opt_cam, res.q, res.p, res.v,
+            res.bg, res.ba, pt_ids, pt_valid, res.Xw,
+        )
+        return st._replace(kf_q=kf_q, kf_p=kf_p, kf_v=kf_v, kf_bg=kf_bg,
+                           kf_ba=kf_ba, mp_pos=mp_pos)
 
     def _global_ba(self, st: MapState, anchor_kf: int, cam: Camera):
         """Whole-map BA after loop correction (reference: run_global_ba,

@@ -86,6 +86,7 @@ def compact_map(st: MapState):
         kf_valid=live_kf,
         kf_map_id=gk(st.kf_map_id, -1),
         kf_prev=gk(remap_kf_ids(st.kf_prev), -1),
+        kf_inliers=gk(st.kf_inliers, 0),
         kf_uv=gk(st.kf_uv),
         kf_ur=gk(st.kf_ur),
         kf_depth=gk(st.kf_depth),
@@ -172,6 +173,7 @@ def concat_maps(a: MapState, b: MapState):
         kf_valid=put_kf(a.kf_valid, b.kf_valid),
         kf_map_id=put_kf(a.kf_map_id, b.kf_map_id, sh_map),
         kf_prev=put_kf(a.kf_prev, b.kf_prev, sh_kf),
+        kf_inliers=put_kf(a.kf_inliers, b.kf_inliers),
         kf_uv=put_kf(a.kf_uv, b.kf_uv),
         kf_ur=put_kf(a.kf_ur, b.kf_ur),
         kf_depth=put_kf(a.kf_depth, b.kf_depth),

@@ -45,6 +45,13 @@ class MapState(NamedTuple):
     kf_valid: jnp.ndarray  # (K,) bool
     kf_map_id: jnp.ndarray  # (K,) int32 atlas map id
     kf_prev: jnp.ndarray  # (K,) int32 temporal predecessor (-1 none)
+    # tracking-quality at insert time: pose-solve inlier count (0 for
+    # keyframes inserted while dead-reckoning / lost). Drives the loop
+    # closer's pose-graph edge weighting: the odometry chain through a
+    # blackout is exactly where a loop correction should bend
+    # (loop/closer.py::_correct), and a uniform-weight graph spreads the
+    # seam error into the healthy segments instead.
+    kf_inliers: jnp.ndarray  # (K,) int32
     # per-feature data
     kf_uv: jnp.ndarray  # (K, N, 2)
     kf_ur: jnp.ndarray  # (K, N) right-image u (-1 = mono)
@@ -116,6 +123,7 @@ def empty_map(cap: MapCapacity = MapCapacity()) -> MapState:
         kf_valid=jnp.zeros((K,), bool),
         kf_map_id=jnp.full((K,), -1, i),
         kf_prev=jnp.full((K,), -1, i),
+        kf_inliers=jnp.zeros((K,), i),
         kf_uv=jnp.zeros((K, N, 2), f),
         kf_ur=jnp.full((K, N), -1.0, f),
         kf_depth=jnp.full((K, N), -1.0, f),

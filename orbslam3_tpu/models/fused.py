@@ -291,6 +291,23 @@ def _slam_step_core(st: sm.MapState, ts: TrackState, left_u8, right_u8,
     q_new = jnp.where(tracked_ok, q_new, q_pred)
     p_new = jnp.where(tracked_ok, p_new, p_pred)
     v_new = jnp.where(tracked_ok, v_new, v_pred)
+    # velocity/vision consistency: a gravity-direction error pumps the
+    # velocity STATE up (~9.81*sin(eps) m/s^2) while per-frame vision
+    # keeps the position pinned — the solve can hold |v| several m/s wrong
+    # with a perfect visual fit (measured |v|=5 m/s while position tracked
+    # to ~1 m), and the next tracking dip turns that into a dead-reckoning
+    # explosion. When the solved velocity disagrees with the visual
+    # finite difference by > 2 m/s, the finite difference wins.
+    v_vis = (p_new - ts.p) / jnp.maximum(dt_frame, 1e-6)
+    v_bad = tracked_ok & (dt_frame > 1e-6) & (
+        jnp.linalg.norm(v_new - v_vis) > 2.0)
+    v_new = jnp.where(v_bad, v_vis, v_new)
+    # physical speed clamp: dead-reckoning with a wrong attitude integrates
+    # the misprojected gravity into velocity without bound (measured: an
+    # EuRoC-format blackout run reached |v| = 105 m/s and flew 500 m off);
+    # no real platform this system targets exceeds max_speed
+    speed = jnp.linalg.norm(v_new)
+    v_new = v_new * jnp.minimum(1.0, cfg.max_speed / jnp.maximum(speed, 1e-6))
 
     initialized = ts.mode != MODE_NOT_INIT
     # NotInit keeps the previous pose (world anchored at first keyframe)
@@ -341,6 +358,13 @@ def _slam_step_core(st: sm.MapState, ts: TrackState, left_u8, right_u8,
     # would silently drop rows while counters advance -> corrupted map)
     has_room = st.n_kf < st.kf_valid.shape[0]
     is_kf = (want_init | policy_kf) & has_room
+    # a fresh map anchor cannot trust the carried velocity: after a lost-
+    # timeout reset the dead-reckoned velocity is arbitrarily wrong, and
+    # seeding the new map's IMU propagation with it re-loses tracking
+    # immediately (reset -> fly off -> reset thrash). Vision re-estimates
+    # the true velocity within a few frames. (At a session's very first
+    # anchor v is already zero, so this is only active after resets.)
+    v_new = jnp.where(want_init, jnp.zeros(3), v_new)
 
     matched_for_insert = jnp.where(want_init, -1, matched)
 
@@ -353,6 +377,12 @@ def _slam_step_core(st: sm.MapState, ts: TrackState, left_u8, right_u8,
             jnp.where(want_init, -1, ts_.last_kf),
             new_mp_budget=cfg.new_mp_budget,
         )
+        # insert-time tracking quality: pose-solve inliers (0 while dead-
+        # reckoning, n_stereo for a map anchor). The loop closer weights
+        # pose-graph odometry edges by it (weak edges absorb corrections).
+        st_ = st_._replace(kf_inliers=st_.kf_inliers.at[kf_id].set(
+            jnp.where(want_init, n_stereo,
+                      jnp.where(tracked_ok, n_inl, 0)).astype(jnp.int32)))
 
         # local BA (skipped for the first few keyframes of a map);
         # visual-inertial temporal-window BA once the IMU is initialized
@@ -386,7 +416,17 @@ def _slam_step_core(st: sm.MapState, ts: TrackState, left_u8, right_u8,
             return jax.lax.cond(ts_.imu_ok, do_vi_ba, do_vis_ba, stt)
 
         n_in_map = sm.count_map_keyframes(st_, st_.active_map)
-        st_ = jax.lax.cond(n_in_map >= 3, do_ba, lambda s: s, st_)
+        # skip window BA for keyframes inserted WITHOUT a visual solve
+        # (dead-reckoning through a blackout): an observation-less VI-BA
+        # window is unanchored — its velocity/bias states wander and the
+        # junk keyframe states then poison every later pose-inertial
+        # solve's reference/prior (measured: post-blackout velocity
+        # divergence). The raw dead-reckoned states are the best available
+        # estimate; the post-loop-correction inertial refinement
+        # (loop/closer.py::_vi_refine) re-solves the segment once both
+        # ends are visually anchored.
+        st_ = jax.lax.cond((n_in_map >= 3) & tracked_ok, do_ba,
+                           lambda s: s, st_)
 
         # mono triangulation + duplicate fusion (reference local-mapping
         # steps 3b/3c) — on-device, part of the same program
@@ -452,15 +492,45 @@ def _slam_step_core(st: sm.MapState, ts: TrackState, left_u8, right_u8,
         cull_due = ts_.kfs_since_cull + 1 >= cfg.cull_every_kfs
         st_ = jax.lax.cond(cull_due, lambda s: sm.cull_map_points(s), lambda s: s, st_)
 
+        # adopt the VI-BA-refined biases (and velocity) along with the pose:
+        # the bias-walk edges in the window BA are the only estimator that
+        # tracks a mid-run bias drift/step, and a tracker frozen on its
+        # IMU-init biases drags every later pose solve against vision
+        # (measured: ~1 m/s systematic drift after the revisit world's
+        # bias step, with 200+ visual inliers). ORB-SLAM3 does the same —
+        # frames take the latest keyframe's bias. Adopting exactly at the
+        # keyframe boundary keeps the running kf_preint's bias
+        # linearization consistent (it resets to identity here).
+        # ONLY when this insert had a solid visual solve: during a
+        # blackout the VI-BA window is observation-less and its bias /
+        # velocity states wander (measured: dead-reckoning drift grew 1.7x
+        # when the tracker adopted mid-blackout estimates; an EuRoC-format
+        # revisit run diverged to 335 m ATE) — a lost tracker keeps its
+        # last vision-anchored biases instead.
+        # LOW-PASSED adoption (alpha=0.3): the window VI-BA's bias states
+        # carry ~0.03 rad/s absorption noise — larger than a typical true
+        # gyro bias — so raw adoption trades a bias STEP response for
+        # constant attitude-rate noise. The filter converges on a real
+        # step within ~10 keyframes (1-3 s) while averaging the noise 3x
+        # down; the rarer inertial_init refines still write ts.bg/ba
+        # directly at full trust.
+        adopt = ts_.imu_ok & tracked_ok
+        new_bg = jnp.where(adopt, 0.7 * ts_.bg + 0.3 * st_.kf_bg[kf_id],
+                           ts_.bg)
+        new_ba = jnp.where(adopt, 0.7 * ts_.ba + 0.3 * st_.kf_ba[kf_id],
+                           ts_.ba)
         ts_ = ts_._replace(
             last_kf=kf_id,
             frames_since_kf=jnp.int32(0),
             ref_inliers=jnp.maximum(jnp.where(want_init, n_stereo, n_matches), 1),
             kfs_since_cull=jnp.where(cull_due, 0, ts_.kfs_since_cull + 1).astype(jnp.int32),
-            kf_preint=pre.PreintState.identity(ts_.bg, ts_.ba),
-            # adopt the refined keyframe pose
+            kf_preint=pre.PreintState.identity(new_bg, new_ba),
+            # adopt the refined keyframe state
             q=st_.kf_q[kf_id],
             p=st_.kf_p[kf_id],
+            v=jnp.where(adopt, st_.kf_v[kf_id], ts_.v),
+            bg=new_bg,
+            ba=new_ba,
         )
         return st_, ts_, kf_id
 
@@ -573,7 +643,7 @@ class FusedSlam:
     """
 
     def __init__(self, cam: Camera, cfg, vocabulary=None, service_every: int = 8,
-                 chunk: int = 1, warmup: bool = False):
+                 chunk: int = 1, warmup: bool = False, loop_cfg=None):
         from orbslam3_tpu.map.slam_map import empty_map
 
         self.cam = cam
@@ -602,7 +672,18 @@ class FusedSlam:
         # 12-14 — re-run bias-only / gravity refinement as the map
         # matures, with priors phased out by map age)
         self._imu_init_time: float | None = None
-        self._imu_phase = 0  # 0 uninit, 1 init, 2 refined@5s, 3 refined@15s
+        self._imu_phase = 0  # 0 uninit, then one per _REFINE_PHASES entry
+        # one-shot gravity/bias refine requested by a loop correction: the
+        # just-corrected poses are the most accurate the map ever is, and
+        # the pre-correction gravity estimate is what made the drifted
+        # segment drift (measured 4 deg gravity error absorbed into a 10x
+        # gyro-bias error on the revisit bench)
+        self._refine_request = False
+        # latest (one-round-stale) tracker-mode snapshot: time-phased
+        # refines are deferred while not OK — a refine against a drifting
+        # or dead-reckoned window estimates gravity in the DRIFTED
+        # segment's frame and poisons the whole VI stack
+        self._last_mode_snap = MODE_OK
         # async n_kf snapshot for one-round-delayed keyframe services
         self._nkf_inflight = None
         # async n_mp snapshot + frame stamp: tightens _kf_ub/_mp_ub each
@@ -635,9 +716,10 @@ class FusedSlam:
         self._last_t = 0.0
         self.loop_closer = None
         if vocabulary is not None:
-            from orbslam3_tpu.loop.closer import LoopCloser
+            from orbslam3_tpu.loop.closer import LoopCloser, LoopConfig
 
-            self.loop_closer = LoopCloser(vocabulary)
+            self.loop_closer = LoopCloser(vocabulary,
+                                          loop_cfg or LoopConfig())
             if warmup:
                 # compile detection/verify/pose-graph/GBA NOW instead of
                 # at the first real loop closure mid-sequence (measured
@@ -914,6 +996,7 @@ class FusedSlam:
                 self.map.kf_q[pk], self.map.kf_p[pk],
                 rotate_gravity=self.loop_closer.last_was_merge,
             )
+            self._refine_request = True
 
     # ------------------------------------------------------------------
     def _host_services(self, final: bool = False):
@@ -948,8 +1031,10 @@ class FusedSlam:
             self._mode_inflight.copy_to_host_async()
         except AttributeError:
             pass
-        if snap_mode is not None and int(snap_mode) == MODE_RECENTLY_LOST:
-            self._reloc_until = self._service_round + 4
+        if snap_mode is not None:
+            self._last_mode_snap = int(snap_mode)
+            if self._last_mode_snap == MODE_RECENTLY_LOST:
+                self._reloc_until = self._service_round + 4
         if final or snap is None:
             n_kf = int(self.map.n_kf)
         else:
@@ -971,6 +1056,10 @@ class FusedSlam:
         if snap_mm is not None:
             # sticky: once archived maps exist, detection stays full-scope
             self._multi_map = self._multi_map or int(snap_mm) > 1
+        if self.loop_closer is not None and self.imu_initialized:
+            # keep the closer's gravity in sync for the post-correction
+            # inertial refinement (device handle, no sync cost)
+            self.loop_closer.gravity_w = self.ts.gravity_w
         if cfg.use_imu and not self.imu_initialized:
             # TRUE count, synchronous: the stale snapshot excludes the
             # newest 1-2 keyframes, and on heavily-culled maps (static
@@ -1015,6 +1104,9 @@ class FusedSlam:
                         self.map.kf_q[k], self.map.kf_p[k],
                         rotate_gravity=self.loop_closer.last_was_merge,
                     )
+                    # corrected poses are the most accurate the map gets:
+                    # re-estimate gravity/biases against them next round
+                    self._refine_request = True
             self._n_kf_seen += 1
         if not new_kfs:
             # idle round: act on the in-flight detection packet (leave any
@@ -1087,12 +1179,17 @@ class FusedSlam:
 
     # time-phased refinement thresholds [s since first init] and prior
     # scales (reference: <5 s strong, <15 s moderate, >=15 s none —
-    # inertial_init_optim.rs:81-115)
-    _REFINE_PHASES = ((1, 5.0, 0.3), (2, 15.0, 0.02))
+    # inertial_init_optim.rs:81-115; the 30 s phase keeps soak-length
+    # sessions converging)
+    _REFINE_PHASES = ((1, 5.0, 0.3), (2, 15.0, 0.02), (3, 30.0, 0.02))
 
     def _imu_refine_due(self) -> bool:
         if not self.imu_initialized or self._imu_init_time is None:
             return False
+        if self._refine_request:
+            return True
+        if self._last_mode_snap != MODE_OK:
+            return False  # defer: window poses are dead-reckoned/drifting
         age = self._last_t - self._imu_init_time
         for phase, after, _scale in self._REFINE_PHASES:
             if self._imu_phase == phase and age >= after:
@@ -1106,19 +1203,48 @@ class FusedSlam:
         Round 1 estimated gravity exactly once (VERDICT missing #8)."""
         from orbslam3_tpu.optim.imu_init import inertial_init
 
-        scale = dict(
-            (p, s) for p, _a, s in self._REFINE_PHASES
-        )[self._imu_phase]
-        next_phase = self._imu_phase + 1
+        is_request = self._refine_request
+        if is_request:
+            # post-loop-correction refine: poses just got their most
+            # accurate; moderate prior (a weak prior over a short window
+            # overfit and poisoned gravity — see the span guard below)
+            scale = 0.1
+        else:
+            scale = dict(
+                (p, s) for p, _a, s in self._REFINE_PHASES
+            )[self._imu_phase]
+            self._imu_phase += 1  # one attempt per phase either way
         cfg = self.cfg
         n_kf = int(self.map.n_kf)
         active = int(self.map.active_map)
         kf_valid = np.asarray(self.map.kf_valid[:n_kf])
         kf_map = np.asarray(self.map.kf_map_id[:n_kf])
-        in_map = [k for k in range(n_kf) if kf_valid[k] and kf_map[k] == active]
-        self._imu_phase = next_phase  # one attempt per phase either way
+        kf_inl = np.asarray(self.map.kf_inliers[:n_kf])
+        all_in_map = [k for k in range(n_kf)
+                      if kf_valid[k] and kf_map[k] == active]
+        # trailing CONTIGUOUS healthy run only: a dead-reckoned (blackout)
+        # keyframe's pose carries no gravity information and its drift
+        # rotates the estimate off (30 = the loop closer's weak-edge
+        # gate). Contiguity keeps the stored preint edges aligned with the
+        # selected pose pairs — skipping interior rows would pair an edge
+        # with the wrong baseline.
+        in_map = []
+        for k in reversed(all_in_map):
+            if kf_inl[k] < 30:
+                break
+            in_map.append(k)
+        in_map.reverse()
         if len(in_map) < cfg.imu_init_kfs:
-            return
+            return  # a pending request stays armed until enough healthy KFs
+        # observability guard: gravity direction is only observable from a
+        # window with real duration (and the rotation/acceleration it
+        # brings); a 16-KF burst spanning <3 s right after a correction
+        # produced an overfit estimate that diverged the whole VI stack
+        kf_time = np.asarray(self.map.kf_time[:n_kf])
+        if float(kf_time[in_map[-1]] - kf_time[in_map[max(-len(in_map), -16)]]) < 3.0:
+            return  # stays armed; retried once the healthy window grows
+        if is_request:
+            self._refine_request = False
         ids = in_map[-16:]
         W = len(ids)
         idx = jnp.asarray(ids)
@@ -1134,6 +1260,20 @@ class FusedSlam:
         g_norm = float(jnp.linalg.norm(res.gravity_w))
         if not (9.0 < g_norm < 10.6) or not float(res.cost1) < float(res.cost0):
             return
+        # direction-jump guard: once initialized, gravity error is a few
+        # degrees at most — a large swing is a degenerate window's noise,
+        # not signal
+        g_old = np.asarray(self.ts.gravity_w)
+        g_new = np.asarray(res.gravity_w)
+        cosang = float(np.dot(g_old, g_new)
+                       / max(np.linalg.norm(g_old) * np.linalg.norm(g_new),
+                             1e-9))
+        if cosang < np.cos(np.radians(10.0)):
+            return
+        self._log.info(
+            "imu refine accepted: gravity moved %.2f deg (request=%s t=%.1f)",
+            float(np.degrees(np.arccos(np.clip(cosang, -1, 1)))), is_request,
+            self._last_t)
         # accept: update gravity + biases (velocities stay VI-BA-owned)
         self.ts = self.ts._replace(
             gravity_w=res.gravity_w, bg=res.bias_g, ba=res.bias_a
@@ -1202,8 +1342,7 @@ class FusedSlam:
         # dispatch round trip
         kf_q = np.asarray(self.map.kf_q, np.float64)
         kf_p = np.asarray(self.map.kf_p, np.float64)
-        kf_valid = np.asarray(self.map.kf_valid)
-        K = len(kf_valid)
+        K = len(kf_q)
         for i, o in enumerate(outs):
             ref = int(o.ref_kf)
             if ref < 0:
@@ -1212,8 +1351,13 @@ class FusedSlam:
                 ref = int(km[ref]) if 0 <= ref < len(km) else -1
                 if ref < 0:
                     break
-            if ref < 0 or ref >= K or not kf_valid[ref]:
-                continue  # reference culled: keep the raw pose
+            if ref < 0 or ref >= K:
+                continue  # reference compacted away: keep the raw pose
+            # CULLED refs are still used: loop/merge corrections keep
+            # culled same-map rows' poses coherent (closer.py::_correct
+            # drags them via their temporal edge), and the blackout-era
+            # frames whose keyframes get redundancy-culled would otherwise
+            # export their raw dead-reckoned poses forever
             qr = kf_q[ref]
             qs[i] = _qnorm(_qmul(qr, np.asarray(o.rel_q, np.float64))).astype(
                 np.float32

@@ -93,7 +93,12 @@ class SlamConfig(NamedTuple):
     max_imu_per_frame: int = 32
     max_imu_per_kf: int = 512
     # atlas (reference: tracker.rs:549-581 + atlas.rs)
-    lost_timeout: float = 1.0  # RecentlyLost -> Lost after this long (ref 5 s)
+    # RecentlyLost -> Lost after this long. 5 s matches the reference
+    # (tracker.rs lost policy) and ORB-SLAM3; every production entrypoint
+    # already ran at 5.0 — the old 1.0 default meant an entrypoint that
+    # forgot to override (run_euroc's profiles) reset the map mid-blackout
+    # on any >1 s sensor dropout.
+    lost_timeout: float = 5.0
     min_kfs_keep_map: int = 10  # smaller maps are reset, larger archived
     # recovery (reference: mInsertKFsLost tracker.rs:232-268; bad_imu
     # static-camera guard imu_init.rs:194-233: <2 cm over 10 s => reset)
@@ -107,6 +112,10 @@ class SlamConfig(NamedTuple):
     ransac_hyps: int = 128
     bad_imu_timeout: float = 10.0
     bad_imu_min_motion: float = 0.02
+    # physical speed ceiling [m/s]: dead-reckoning with a wrong attitude
+    # integrates misprojected gravity into velocity without bound; no
+    # targeted platform (EuRoC MAV peaks ~2.3 m/s) comes near this
+    max_speed: float = 20.0
     # map maintenance (host services)
     fuse_neighbors: bool = True  # search_in_neighbors duplicate fusion
     triangulate_mono: bool = True  # 2-view DLT for unmatched mono features
@@ -358,6 +367,10 @@ class SlamSystem:
             new_mp_budget=cfg.new_mp_budget,
         )
         self.last_kf_id = int(kf_id)
+        # insert-time quality for pose-graph edge weighting (fused.py sets
+        # the pose-solve inlier count; here the tracked-match count)
+        self.map = self.map._replace(kf_inliers=self.map.kf_inliers.at[kf_id].set(
+            jnp.sum((matched >= 0).astype(jnp.int32))))
         self.frames_since_kf = 0
         self._kf_gyro, self._kf_acc, self._kf_dts = [], [], []
 

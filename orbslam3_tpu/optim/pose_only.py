@@ -198,7 +198,16 @@ def pose_inertial_optimize(
             bg = bg0_ + x[9:12]
             ba = ba0_ + x[12:15]
             r9 = pre.imu_residual(preint, q_kf, v_kf, p_kf, q, v, p, bg, ba, gravity=gravity)
-            return mm(L.T, r9)
+            rw = mm(L.T, r9)
+            # robust (Huber-style) IMU edge: the visual term is
+            # huber-capped, so an unbounded IMU edge wins any conflict.
+            # After dead-reckoning through a blackout the carried velocity
+            # is ~100 sigma wrong and a quadratic edge drags the pose away
+            # from a perfectly good visual solution (measured ~4 m/s
+            # post-reacquisition drift with 30-80 inliers). Healthy
+            # whitened norms are ~3-8; past 10 the edge grows linearly.
+            nrm = jnp.linalg.norm(rw)
+            return rw * jnp.sqrt(jnp.minimum(1.0, 10.0 / jnp.maximum(nrm, 1e-9)))
 
         def br(x):
             bg = bg0_ + x[9:12]

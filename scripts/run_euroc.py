@@ -20,7 +20,8 @@ import numpy as np
 
 
 def run(seq_dir: str, outdir: str = "/tmp/orbslam3_tpu_euroc",
-        profile: str = "full", max_frames: int = 0, cache_dir: str = None):
+        profile: str = "full", max_frames: int = 0, cache_dir: str = None,
+        vocab_path: str = None, loop_cfg=None):
     import jax
 
     if cache_dir:
@@ -77,7 +78,15 @@ def run(seq_dir: str, outdir: str = "/tmp/orbslam3_tpu_euroc",
         # per-rig noise densities from imu0/sensor.yaml (the reference
         # hard-codes the EuRoC MH values, sample.rs:24-33)
         slam_cfg = slam_cfg._replace(imu_noise=ds.imu_calib.noise)
-    slam = FusedSlam(cam, slam_cfg)
+    vocab = None
+    if vocab_path:
+        # the production ORBvoc.txt path (reference: vocabulary/mod.rs:94-206
+        # loads the same text format) — enables loop closing
+        from orbslam3_tpu.loop.vocab import load_dbow2_text
+
+        vocab = load_dbow2_text(vocab_path)
+    slam = FusedSlam(cam, slam_cfg, vocabulary=vocab,
+                     warmup=vocab is not None, loop_cfg=loop_cfg)
     mx0, my0 = jnp.asarray(maps.map_x0), jnp.asarray(maps.map_y0)
     mx1, my1 = jnp.asarray(maps.map_x1), jnp.asarray(maps.map_y1)
 
@@ -117,6 +126,10 @@ def run(seq_dir: str, outdir: str = "/tmp/orbslam3_tpu_euroc",
         "native_loader": prefetch is not None,
         "outdir": outdir,
     }
+    if slam.loop_closer is not None:
+        result["loop_corrections"] = int(slam.loop_closer.stats.corrected)
+        result["loop_candidates_checked"] = int(
+            slam.loop_closer.stats.candidates_checked)
     if gt is not None:
         result["ate_m"] = round(ate_rmse(ps - ps[0], gt[: len(ps)]), 4)
     return result
@@ -128,9 +141,11 @@ def main():
     ap.add_argument("outdir", nargs="?", default="/tmp/orbslam3_tpu_euroc")
     ap.add_argument("--profile", choices=["full", "small"], default="full")
     ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--vocab", default=None,
+                    help="DBoW2 ORBvoc.txt vocabulary; enables loop closing")
     a = ap.parse_args()
     result = run(a.sequence, a.outdir, a.profile, a.max_frames,
-                 cache_dir="/root/repo/.jax_cache")
+                 cache_dir="/root/repo/.jax_cache", vocab_path=a.vocab)
     print(json.dumps(result))
     return 0
 
