@@ -285,6 +285,12 @@ def main():
         "revisit_loop_corrections": int(slam_r_loop.loop_closer.stats.corrected),
         "revisit_fps": round(fps_r, 2),
         "revisit_service_share": round(svc_s / (n_timed / fps_r), 3),
+        # nested breakdown (seconds inside host_services) + map-pressure
+        # counters: locates the service cost (VERDICT r4 next #3)
+        "revisit_svc_s": {k: v["total_s"] for k, v in tr.items()},
+        "revisit_mp_evictions": getattr(slam_r_loop, "mp_evictions", 0),
+        "revisit_compactions": slam_r_loop.compactions,
+        "revisit_n_mp": int(slam_r_loop.map.n_mp),
     }
 
     fpf = flops_per_frame(world, slam_cfg)

@@ -113,7 +113,7 @@ class LoopConfig(NamedTuple):
     vi_refine_window: int = 96
     vi_refine_points: int = 2048
     vi_refine_fixed: int = 8
-    vi_refine_iters: int = 8
+    vi_refine_iters: int = 6
     # whole-map budget: with gba_tile point-tiling the Schur reduction
     # (parallel/distributed_ba.py), 32768 = MapCapacity.max_mp — every
     # valid landmark is refined after a correction, like the reference's
@@ -121,7 +121,12 @@ class LoopConfig(NamedTuple):
     # the old 8192 cap)
     gba_max_points: int = 32768
     gba_obs: int = 12
-    gba_iters: int = 8
+    # 5 LM iterations: the pose graph + rigid pre-correction leave GBA a
+    # warm start, and iterations past ~4 moved poses < 1 mm on the
+    # revisit bench while the whole-map point-tiled solve costs ~0.5 s
+    # per iteration — GBA runs synchronously inside the correction, so
+    # iterations are wall-time on the critical path (VERDICT r4 next #3)
+    gba_iters: int = 5
     gba_tile: int = 4096
 
 

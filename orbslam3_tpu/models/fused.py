@@ -64,6 +64,10 @@ class TrackState(NamedTuple):
     motion_dp: jnp.ndarray  # (3,)
     mode: jnp.ndarray  # () int32
     lost_since: jnp.ndarray  # () f32, -1 = not lost
+    # time tracking last FAILED (any frame with now_lost); drives the
+    # recovery-state IMU-edge cap — after dead-reckoning, the IMU-carried
+    # state is suspect until vision has held for a couple of seconds
+    last_lost_t: jnp.ndarray  # () f32, very negative = never
     last_t: jnp.ndarray  # () f32
     frames_since_kf: jnp.ndarray  # () int32
     ref_inliers: jnp.ndarray  # () int32
@@ -85,6 +89,7 @@ class TrackState(NamedTuple):
             motion_dp=jnp.zeros(3),
             mode=jnp.int32(MODE_NOT_INIT),
             lost_since=jnp.float32(-1.0),
+            last_lost_t=jnp.float32(-1e9),
             last_t=jnp.float32(0.0),
             frames_since_kf=jnp.int32(0),
             ref_inliers=jnp.int32(1),
@@ -263,12 +268,20 @@ def _slam_step_core(st: sm.MapState, ts: TrackState, left_u8, right_u8,
 
     def solve_vi(_):
         kf = ts.last_kf
+        # recovery-state IMU trust: while within imu_trust_recovery_s of
+        # the last tracking failure the dead-reckoned prior is suspect —
+        # vision leads (cap 10); steady tracking gets the full edge (30).
+        # (The velocity/vision band above bounds steady-state velocity
+        # error; this cap additionally protects the POSE during the
+        # first seconds of reacquisition.)
+        recovering = (t - ts.last_lost_t) < cfg.imu_trust_recovery_s
         q_n, p_n, v_n, _bg, _ba, inl, n_inl = pose_inertial_optimize(
             q_seed, p_seed, v_pred, ts.bg, ts.ba, cam,
             mp_w, featL.uv, jnp.where(valid, u_r, -1.0),
             featL.octave, valid.astype(jnp.float32),
             ts.kf_preint, st.kf_q[kf], st.kf_p[kf], st.kf_v[kf],
             st.kf_bg[kf], st.kf_ba[kf], gravity=ts.gravity_w,
+            imu_cap=jnp.where(recovering, 10.0, 30.0),
         )
         return q_n, p_n, v_n, inl, n_inl
 
@@ -291,17 +304,25 @@ def _slam_step_core(st: sm.MapState, ts: TrackState, left_u8, right_u8,
     q_new = jnp.where(tracked_ok, q_new, q_pred)
     p_new = jnp.where(tracked_ok, p_new, p_pred)
     v_new = jnp.where(tracked_ok, v_new, v_pred)
-    # velocity/vision consistency: a gravity-direction error pumps the
-    # velocity STATE up (~9.81*sin(eps) m/s^2) while per-frame vision
-    # keeps the position pinned — the solve can hold |v| several m/s wrong
-    # with a perfect visual fit (measured |v|=5 m/s while position tracked
-    # to ~1 m), and the next tracking dip turns that into a dead-reckoning
-    # explosion. When the solved velocity disagrees with the visual
-    # finite difference by > 2 m/s, the finite difference wins.
+    # velocity/vision consistency band: a gravity-direction error pumps
+    # the velocity STATE up (~9.81*sin(eps) m/s^2) while per-frame vision
+    # keeps the position pinned — the solve can hold |v| several m/s
+    # wrong with a perfect visual fit (measured |v|=5 m/s while position
+    # tracked to ~1 m), and the next tracking dip turns that into a
+    # dead-reckoning explosion. Whenever tracking holds, the velocity is
+    # clamped to within 0.5 m/s of the visual finite difference: the
+    # band sits well above the finite-difference noise (~0.2 m/s at
+    # 20 Hz) so nominal VI velocity passes through untouched, while a
+    # pumped velocity is continuously bled back to what vision sees.
     v_vis = (p_new - ts.p) / jnp.maximum(dt_frame, 1e-6)
-    v_bad = tracked_ok & (dt_frame > 1e-6) & (
-        jnp.linalg.norm(v_new - v_vis) > 2.0)
-    v_new = jnp.where(v_bad, v_vis, v_new)
+    dv = v_new - v_vis
+    dv_n = jnp.linalg.norm(dv)
+    v_band = jnp.where(
+        tracked_ok & (dt_frame > 1e-6) & (dv_n > 0.5),
+        v_vis + dv * (0.5 / jnp.maximum(dv_n, 1e-9)),
+        v_new,
+    )
+    v_new = v_band
     # physical speed clamp: dead-reckoning with a wrong attitude integrates
     # the misprojected gravity into velocity without bound (measured: an
     # EuRoC-format blackout run reached |v| = 105 m/s and flew 500 m off);
@@ -317,6 +338,7 @@ def _slam_step_core(st: sm.MapState, ts: TrackState, left_u8, right_u8,
 
     # ---------------- state machine
     now_lost = initialized & ~tracked_ok
+    last_lost_t = jnp.where(now_lost, t, ts.last_lost_t)
     lost_since = jnp.where(
         now_lost, jnp.where(ts.lost_since < 0, t, ts.lost_since), -1.0
     )
@@ -558,6 +580,7 @@ def _slam_step_core(st: sm.MapState, ts: TrackState, left_u8, right_u8,
         # in (has_room); otherwise we'd track against a map with no keyframe
         mode=jnp.where(want_init & has_room, MODE_OK, mode).astype(jnp.int32),
         lost_since=lost_since,
+        last_lost_t=last_lost_t,
         last_t=t,
     )
     st, ts, kf_id = jax.lax.cond(is_kf, do_insert, no_insert, (st, ts))
@@ -1150,21 +1173,31 @@ class FusedSlam:
             if full_span >= cfg.bad_imu_timeout:
                 self._reset_bad_imu()
             return  # too static: gravity unobservable, don't attempt init
+        # pad to a FIXED 16-row window (repeat the oldest row, mask its
+        # fake edges): every call shares one compiled inertial_init shape
+        # — per-width variants were first-compiling inside timed windows
+        pad = 16 - W
+        if pad > 0:
+            ids = [ids[0]] * pad + ids
         idx = jnp.asarray(ids)
         qs = self.map.kf_q[idx]
         ps = self.map.kf_p[idx]
         edge_ids = jnp.asarray(ids[1:])
         preints = jax.tree.map(lambda a_: a_[edge_ids], self.map.kf_preint)
         edge_valid = preints.dt > 1e-4
+        if pad > 0:
+            edge_valid = edge_valid & (jnp.arange(len(ids) - 1) >= pad)
         if int(jnp.sum(edge_valid)) < W - 2:
             return
         res = inertial_init(qs, ps, preints, edge_valid)
         g_norm = float(jnp.linalg.norm(res.gravity_w))
         if not (8.5 < g_norm < 11.0) or not float(res.cost1) < float(res.cost0):
             return
-        kf_v = self.map.kf_v.at[idx].set(res.vels)
-        kf_bg = self.map.kf_bg.at[idx].set(jnp.tile(res.bias_g, (W, 1)))
-        kf_ba = self.map.kf_ba.at[idx].set(jnp.tile(res.bias_a, (W, 1)))
+        # scatter only the REAL rows (duplicate pad indices would race)
+        idx_r = idx[pad:] if pad > 0 else idx
+        kf_v = self.map.kf_v.at[idx_r].set(res.vels[pad:])
+        kf_bg = self.map.kf_bg.at[idx_r].set(jnp.tile(res.bias_g, (W, 1)))
+        kf_ba = self.map.kf_ba.at[idx_r].set(jnp.tile(res.bias_a, (W, 1)))
         self.map = self.map._replace(kf_v=kf_v, kf_bg=kf_bg, kf_ba=kf_ba)
         self.ts = self.ts._replace(
             gravity_w=res.gravity_w,
@@ -1187,7 +1220,15 @@ class FusedSlam:
         if not self.imu_initialized or self._imu_init_time is None:
             return False
         if self._refine_request:
-            return True
+            # throttle armed-request retries: each attempt costs host
+            # fetches + an inertial_init solve, and retrying EVERY service
+            # round until the observability guards pass burned ~10 s of a
+            # 40 s revisit run. Every 4th round is plenty — the guards
+            # need seconds of new healthy keyframes to start passing.
+            if self._service_round - getattr(self, "_refine_attempt_round",
+                                             -99) >= 4:
+                return True
+            return False
         if self._last_mode_snap != MODE_OK:
             return False  # defer: window poses are dead-reckoned/drifting
         age = self._last_t - self._imu_init_time
@@ -1203,6 +1244,7 @@ class FusedSlam:
         Round 1 estimated gravity exactly once (VERDICT missing #8)."""
         from orbslam3_tpu.optim.imu_init import inertial_init
 
+        self._refine_attempt_round = self._service_round
         is_request = self._refine_request
         if is_request:
             # post-loop-correction refine: poses just got their most
@@ -1247,10 +1289,17 @@ class FusedSlam:
             self._refine_request = False
         ids = in_map[-16:]
         W = len(ids)
+        # fixed 16-row window (same rationale + masked pad edges as
+        # _try_imu_init: one compiled inertial_init shape)
+        pad = 16 - W
+        if pad > 0:
+            ids = [ids[0]] * pad + ids
         idx = jnp.asarray(ids)
         edge_ids = jnp.asarray(ids[1:])
         preints = jax.tree.map(lambda a_: a_[edge_ids], self.map.kf_preint)
         edge_valid = preints.dt > 1e-4
+        if pad > 0:
+            edge_valid = edge_valid & (jnp.arange(len(ids) - 1) >= pad)
         if int(jnp.sum(edge_valid)) < W - 2:
             return
         res = inertial_init(
@@ -1278,8 +1327,9 @@ class FusedSlam:
         self.ts = self.ts._replace(
             gravity_w=res.gravity_w, bg=res.bias_g, ba=res.bias_a
         )
-        kf_bg = self.map.kf_bg.at[idx].set(jnp.tile(res.bias_g, (W, 1)))
-        kf_ba = self.map.kf_ba.at[idx].set(jnp.tile(res.bias_a, (W, 1)))
+        idx_r = idx[pad:] if pad > 0 else idx
+        kf_bg = self.map.kf_bg.at[idx_r].set(jnp.tile(res.bias_g, (W, 1)))
+        kf_ba = self.map.kf_ba.at[idx_r].set(jnp.tile(res.bias_a, (W, 1)))
         self.map = self.map._replace(kf_bg=kf_bg, kf_ba=kf_ba)
         self.imu_refines = getattr(self, "imu_refines", 0) + 1
 

@@ -116,6 +116,10 @@ class SlamConfig(NamedTuple):
     # integrates misprojected gravity into velocity without bound; no
     # targeted platform (EuRoC MAV peaks ~2.3 m/s) comes near this
     max_speed: float = 20.0
+    # recovery window [s] after a tracking failure during which the
+    # pose-inertial solve de-weights the (dead-reckoning-poisoned) IMU
+    # edge and lets vision lead (optim/pose_only.py imu_cap)
+    imu_trust_recovery_s: float = 2.0
     # map maintenance (host services)
     fuse_neighbors: bool = True  # search_in_neighbors duplicate fusion
     triangulate_mono: bool = True  # 2-view DLT for unmatched mono features

@@ -156,6 +156,7 @@ def pose_inertial_optimize(
     gravity=None,
     iters: int = 8,
     bias_prior_weight: float = 1e4,
+    imu_cap=None,
 ):
     """15-dof single-frame refinement: visual + IMU edge to previous KF.
 
@@ -199,15 +200,22 @@ def pose_inertial_optimize(
             ba = ba0_ + x[12:15]
             r9 = pre.imu_residual(preint, q_kf, v_kf, p_kf, q, v, p, bg, ba, gravity=gravity)
             rw = mm(L.T, r9)
-            # robust (Huber-style) IMU edge: the visual term is
-            # huber-capped, so an unbounded IMU edge wins any conflict.
-            # After dead-reckoning through a blackout the carried velocity
-            # is ~100 sigma wrong and a quadratic edge drags the pose away
-            # from a perfectly good visual solution (measured ~4 m/s
-            # post-reacquisition drift with 30-80 inliers). Healthy
-            # whitened norms are ~3-8; past 10 the edge grows linearly.
+            # robust (Huber) IMU edge with a STATE-DEPENDENT cap: the
+            # visual term is huber-capped, so an unbounded IMU edge wins
+            # any conflict — after dead-reckoning through a blackout the
+            # carried velocity is wildly wrong and a quadratic edge drags
+            # the pose away from a perfectly good visual solution
+            # (measured ~4 m/s post-reacquisition drift). No single cap
+            # separates the regimes in whitened-norm space (cap 10 taxed
+            # nominal ATE 0.088 -> 0.16; cap 30 let recovery drift 1.3 m
+            # -> 21.8 m; a 40/80 flat-fade diverged the EuRoC fixture) —
+            # but the STATE MACHINE knows when the prior is suspect: the
+            # caller passes imu_cap ~10 while recently recovered from a
+            # lost stretch (vision-led reacquisition), ~30 in steady
+            # tracking (full VI accuracy).
             nrm = jnp.linalg.norm(rw)
-            return rw * jnp.sqrt(jnp.minimum(1.0, 10.0 / jnp.maximum(nrm, 1e-9)))
+            cap = 30.0 if imu_cap is None else imu_cap
+            return rw * jnp.sqrt(jnp.minimum(1.0, cap / jnp.maximum(nrm, 1e-9)))
 
         def br(x):
             bg = bg0_ + x[9:12]

@@ -171,16 +171,15 @@ def write_fixture(outdir, duration=8.0, hz=10.0, scale=0.5, seed=7,
     blackout = None
     if revisit:
         lap = duration / 2.0
-        # a SHORT mid-lap-1 blackout: long enough that real dead-reckoning
-        # drift accumulates (the bias step lands at blackout start), short
-        # enough that tracking reacquires without a lost-timeout map spawn
-        # and the unmapped angular wedge stays small. Longer blackouts
-        # were tried: 3 s at 0.2*lap diverges (IMU barely initialized),
-        # 3 s at 0.4*lap spawns a second map whose merge leaves a ~5 s
-        # never-mapped wedge that re-drifts on lap 2 — structurally
-        # unrepairable scenarios that belong to the adversarial TPU bench
-        # (bench.py::build_revisit_world), not this format-parity test.
-        blackout = (0.58 * lap, 0.58 * lap + 2.0)
+        # mid-lap-1 blackout, 3 s: long enough that real dead-reckoning
+        # drift accumulates (the bias step lands at blackout start) and a
+        # loop correction is genuinely needed — a 2 s blackout is handled
+        # odometrically by the robust recovery path and the loop closer
+        # (correctly) never fires. Early blackouts were tried and belong
+        # to the adversarial TPU bench instead: 0.2*lap diverges (IMU
+        # barely initialized), 0.4*lap spawns a second map whose merge
+        # leaves a ~5 s never-mapped wedge.
+        blackout = (0.58 * lap, 0.58 * lap + 3.0)
         extra = dict(
             yaw_amp=0.0, yaw_rate=2 * np.pi / lap,
             pos_freq=(1.0 / lap, 2.0 / lap, 3.0 / lap),

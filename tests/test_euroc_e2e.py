@@ -110,11 +110,10 @@ def test_euroc_pipeline_with_loop_closing(tmp_path_factory, tmp_path):
     assert result["frames"] == 240
     assert result["imu_initialized"]
     assert result["loop_corrections"] >= 1, result
-    # bar: the 2 s blackout leaves a never-mapped angular wedge that lap 2
-    # must traverse odometrically (~4 m transient, self-recovering), so
-    # whole-run ATE is wedge-limited; measured 0.39 m with the loop
-    # correction (0.52 m raw odometry)
-    assert result["ate_m"] < 0.45, result
+    # measured: raw odometry 0.98 m, corrected export 0.162 m (the 3 s
+    # blackout's never-mapped wedge bounds how far below this the
+    # scenario can go)
+    assert result["ate_m"] < 0.25, result
 
 
 @pytest.mark.slow
