@@ -1056,6 +1056,11 @@ class FusedSlam:
             pass
         if snap_mode is not None:
             self._last_mode_snap = int(snap_mode)
+            if self._last_mode_snap != MODE_OK:
+                # any non-OK snapshot marks "trouble": large loop-closing
+                # seams stay plausible for the next ~20 s (drift from a
+                # blackout/loss persists until repaired)
+                self._trouble_round = self._service_round
             if self._last_mode_snap == MODE_RECENTLY_LOST:
                 self._reloc_until = self._service_round + 4
         if final or snap is None:
@@ -1119,6 +1124,17 @@ class FusedSlam:
                     self.map, k, self.cam, multi_map=self._multi_map,
                     round_id=self._service_round,
                     reloc=self._service_round < self._reloc_until,
+                    # steady: no tracking trouble for ~20 s (50 service
+                    # rounds at the default cadence) — arms the closer's
+                    # seam plausibility veto. Real drift accumulates at
+                    # cm/s while healthy, so a multi-meter seam without
+                    # recent trouble is a periodic-texture alias; a seam
+                    # right after a blackout (trouble recent) stays
+                    # allowed. Session start counts as trouble so young
+                    # maps aren't vetoed into paralysis either way.
+                    steady=(self._last_mode_snap == MODE_OK
+                            and self._service_round
+                            - getattr(self, "_trouble_round", 0) > 50),
                 )
                 self._toc("loop_correct" if corrected else "loop_service", t0)
                 if corrected:
