@@ -65,26 +65,33 @@ def detect_orb(img, cfg: OrbConfig = OrbConfig()) -> Features:
     return _select_impl(levels, scores, cfg)
 
 
+def detect_orb_batch(imgs, cfg: OrbConfig = OrbConfig()) -> Features:
+    """(B, H, W) f32 -> Features with a leading batch axis B.
+
+    The per-level kernels are small (kernel-launch-bound across 8 pyramid
+    levels — BASELINE.md); batching B same-shape images divides the
+    launch count per image by B with zero padding overhead (unlike
+    batching pyramid LEVELS — a measured-slower variant; see
+    ARCHITECTURE.md). Scores are computed on the batched (B, h, w) stack
+    directly because the Pallas FAST kernel cannot be vmapped
+    (ANY-memspace input spec); selection/description vmap over the batch.
+    """
+    levels_b = jax.vmap(
+        lambda im: pyr_ops.build_pyramid(im, cfg.n_levels, cfg.scale_factor)
+    )(imgs)
+    scores_b = _score_maps_batched(levels_b, cfg)
+    return jax.vmap(lambda lvls, scs: _select_impl(list(lvls), list(scs), cfg))(
+        tuple(levels_b), tuple(scores_b)
+    )
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def detect_orb_pair(left, right, cfg: OrbConfig = OrbConfig()):
     """Detect on BOTH stereo images in one batched program.
 
-    The per-level kernels are small (kernel-launch-bound across 8 pyramid
-    levels — BASELINE.md); batching the two same-shape images halves the
-    launch count per frame with zero padding overhead (unlike batching
-    pyramid LEVELS — a measured-slower variant; see ARCHITECTURE.md).
-    Scores are computed on the batched (2, h, w) stack directly because
-    the Pallas FAST kernel cannot be vmapped (ANY-memspace input spec);
-    selection/description vmap over the pair.
     Returns (Features_left, Features_right).
     """
-    levels_b = jax.vmap(
-        lambda im: pyr_ops.build_pyramid(im, cfg.n_levels, cfg.scale_factor)
-    )(jnp.stack([left, right]))
-    scores_b = _score_maps_batched(levels_b, cfg)
-    f = jax.vmap(lambda lvls, scs: _select_impl(list(lvls), list(scs), cfg))(
-        tuple(levels_b), tuple(scores_b)
-    )
+    f = detect_orb_batch(jnp.stack([left, right]), cfg)
     featL = jax.tree.map(lambda a: a[0], f)
     featR = jax.tree.map(lambda a: a[1], f)
     return featL, featR

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from orbslam3_tpu.frontend.camera import Camera
-from orbslam3_tpu.frontend.orb import detect_orb_pair
+from orbslam3_tpu.frontend.orb import detect_orb_batch, detect_orb_pair
 from orbslam3_tpu.frontend.stereo import match_stereo
 from orbslam3_tpu.geometry import quat
 from orbslam3_tpu.imu import preintegration as pre
@@ -147,20 +147,27 @@ def slam_step_chunk(st: sm.MapState, ts: TrackState, lefts, rights,
     offline runs).
     """
 
+    fe = _frontend_chunk(lefts, rights, cam, cfg)
+
     def body(carry, x):
         st_, ts_ = carry
-        l, r, g, a, d, m, tt = x
-        st_, ts_, out = _slam_step_core(st_, ts_, l, r, g, a, d, m, tt, cam, cfg)
+        fe_i, g, a, d, m, tt = x
+        st_, ts_, out = _slam_step_core(st_, ts_, None, None, g, a, d, m,
+                                        tt, cam, cfg, fe=fe_i)
         return (st_, ts_), out
 
     (st, ts), outs = jax.lax.scan(
-        body, (st, ts), (lefts, rights, gyro, acc, dts, imu_mask, t)
+        body, (st, ts), (fe, gyro, acc, dts, imu_mask, t)
     )
     return st, ts, outs
 
 
-def _slam_step_core(st: sm.MapState, ts: TrackState, left_u8, right_u8,
-                    gyro, acc, dts, imu_mask, t, cam: Camera, cfg):
+def _frontend(left_u8, right_u8, cam: Camera, cfg):
+    """Per-frame front-end: ORB pair detection + stereo matching.
+
+    State-independent (no MapState/TrackState input), so the chunked path
+    batches it across ALL chunk frames before the sequential scan
+    (see _frontend_chunk)."""
     left = left_u8.astype(jnp.float32)
     right = right_u8.astype(jnp.float32)
 
@@ -172,6 +179,40 @@ def _slam_step_core(st: sm.MapState, ts: TrackState, left_u8, right_u8,
     points_body = cam.cam_pts_to_body(
         cam.unproject(featL.uv, jnp.where(has_depth, depth, 1.0))
     )
+    return featL, u_r, depth, has_depth, points_body
+
+
+def _frontend_chunk(lefts_u8, rights_u8, cam: Camera, cfg):
+    """Front-end for ALL C chunk frames in ONE batched program (2C images).
+
+    Extraction/stereo matching depend only on the images, not on tracking
+    state — lifting them out of the per-frame lax.scan turns 2C serial
+    small-kernel passes into one 2C-wide batch (the front-end is the
+    largest per-frame cost and is launch-latency-bound; BASELINE.md
+    per-chip anatomy names exactly this batching as the throughput lever).
+    """
+    C = lefts_u8.shape[0]
+    imgs = jnp.concatenate([lefts_u8, rights_u8]).astype(jnp.float32)
+    f = detect_orb_batch(imgs, cfg.orb)
+    featL = jax.tree.map(lambda a: a[:C], f)
+    featR = jax.tree.map(lambda a: a[C:], f)
+    u_r, depth, has_depth = jax.vmap(
+        lambda fl, fr: match_stereo(fl, fr, cam, cfg.stereo)
+    )(featL, featR)
+    points_body = jax.vmap(
+        lambda uv, hd, dp: cam.cam_pts_to_body(
+            cam.unproject(uv, jnp.where(hd, dp, 1.0))
+        )
+    )(featL.uv, has_depth, depth)
+    return featL, u_r, depth, has_depth, points_body
+
+
+def _slam_step_core(st: sm.MapState, ts: TrackState, left_u8, right_u8,
+                    gyro, acc, dts, imu_mask, t, cam: Camera, cfg,
+                    fe=None):
+    if fe is None:
+        fe = _frontend(left_u8, right_u8, cam, cfg)
+    featL, u_r, depth, has_depth, points_body = fe
     N = featL.uv.shape[0]
 
     # ---------------- IMU
